@@ -185,9 +185,11 @@ def spawn(board: jax.Array, u_val: jax.Array, u_pos: jax.Array) -> jax.Array:
     n_empty = empty.sum(axis=-1).astype(jnp.int32)
     k = jnp.minimum((u_pos * n_empty).astype(jnp.int32), n_empty - 1)
     csum = jnp.cumsum(empty.astype(jnp.int32), axis=-1)
-    target = empty & (csum == k + 1)
+    target = empty & (csum == (k + 1)[..., None])
     val = jnp.where(u_val < 0.9, 1, 2).astype(board.dtype)
-    return (flat + target.astype(board.dtype) * val).reshape(board.shape)
+    return (flat + target.astype(board.dtype) * val[..., None]).reshape(
+        board.shape
+    )
 
 
 def spawn_ranked(
