@@ -1,0 +1,7 @@
+from gym2048_tpu.models.resnet import (  # noqa: F401
+    ActorCritic,
+    Game2048Model,
+    ResidualBlock,
+    boards_to_model_input,
+    build_model,
+)

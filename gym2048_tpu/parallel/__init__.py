@@ -1,0 +1,7 @@
+from gym2048_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_env_state,
+    shard_train_state,
+)
