@@ -1,0 +1,95 @@
+"""Checkpoint / resume via Orbax.
+
+The reference only ever *saves* (torch.save whole-model, SB3 .zip, periodic
+CheckpointCallback — SURVEY.md §5) and never restores a training step. Here
+checkpointing is full-fidelity: params, batch stats, optimiser state, env
+RNG key and the update counter are saved together, so training resumes
+in-place (same trajectory modulo device nondeterminism).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class Checkpointer:
+    """Thin wrapper over orbax-checkpoint with a step-indexed directory.
+
+    Layout: ``<root>/<step>/`` per checkpoint; ``latest_step()`` finds the
+    resume point. ``keep`` bounds retained checkpoints (oldest pruned).
+    """
+
+    def __init__(self, root: str | Path, keep: int = 5):
+        self.root = Path(root).absolute()
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.keep = keep
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def save(self, step: int, tree: Any) -> Path:
+        path = self.root / str(step)
+        self._ckpt.save(path, _to_host(tree), force=True)
+        self._ckpt.wait_until_finished()
+        self._prune()
+        return path
+
+    def restore(self, step: int | None = None, like: Any = None) -> Any:
+        """Restore a checkpoint; ``like`` provides the pytree structure
+        (required for typed restore; pass the freshly-initialised state)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.root}")
+        path = self.root / str(step)
+        if like is not None:
+            return self._ckpt.restore(path, _to_host(like))
+        return self._ckpt.restore(path)
+
+    def latest_step(self) -> int | None:
+        steps = [
+            int(p.name) for p in self.root.iterdir()
+            if p.is_dir() and p.name.isdigit()
+        ]
+        return max(steps) if steps else None
+
+    def all_steps(self) -> list[int]:
+        return sorted(
+            int(p.name) for p in self.root.iterdir()
+            if p.is_dir() and p.name.isdigit()
+        )
+
+    def _prune(self) -> None:
+        import shutil
+
+        steps = self.all_steps()
+        for step in steps[: max(0, len(steps) - self.keep)]:
+            shutil.rmtree(self.root / str(step), ignore_errors=True)
+
+
+def save_model(path: str | Path, variables: Any, meta: dict | None = None):
+    """One-shot model save (the torch.save-equivalent for inference use)."""
+    import pickle
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump({"variables": _to_host(variables), "meta": meta or {}}, f)
+
+
+def load_model(path: str | Path) -> tuple[Any, dict]:
+    import pickle
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    return blob["variables"], blob.get("meta", {})
