@@ -268,23 +268,51 @@ class TrainingData:
     def import_csv(self, filename) -> None:
         """Load the 35-column schema (a trailing return column is ignored).
 
-        One parse instead of the reference's five (training_data.py:188-210).
+        Uses the native C++ parser when available (one pass, ~20x faster
+        than np.loadtxt); otherwise a single np.loadtxt parse instead of
+        the reference's five (training_data.py:188-210).
         """
-        raw = np.loadtxt(
-            filename, dtype=float, delimiter=",", skiprows=1, ndmin=2,
-            usecols=tuple(range(35)),
-        )
+        from gym2048_tpu import native
+
+        parsed = native.csv_read(filename) if native.available() else None
         self._pending.clear()
-        self._x = raw[:, 0:16].astype(int).reshape(-1, 4, 4)
-        self._y_digit = raw[:, 16].astype(int).reshape(-1, 1)
-        self._reward = raw[:, 17].astype(float).reshape(-1, 1)
-        self._next_x = raw[:, 18:34].astype(int).reshape(-1, 4, 4)
-        self._done = raw[:, 34].astype(bool).reshape(-1, 1)
+        if parsed is not None:
+            boards, actions, rewards, next_boards, dones = parsed
+            self._x = boards.astype(int)
+            self._y_digit = actions.astype(int).reshape(-1, 1)
+            self._reward = rewards.astype(float).reshape(-1, 1)
+            self._next_x = next_boards.astype(int)
+            self._done = dones.reshape(-1, 1)
+        else:
+            raw = np.loadtxt(
+                filename, dtype=float, delimiter=",", skiprows=1, ndmin=2,
+                usecols=tuple(range(35)),
+            )
+            self._x = raw[:, 0:16].astype(int).reshape(-1, 4, 4)
+            self._y_digit = raw[:, 16].astype(int).reshape(-1, 1)
+            self._reward = raw[:, 17].astype(float).reshape(-1, 1)
+            self._next_x = raw[:, 18:34].astype(int).reshape(-1, 4, 4)
+            self._done = raw[:, 34].astype(bool).reshape(-1, 1)
         self._check_lengths()
 
     def export_csv(self, filename, add_returns: bool = False) -> None:
-        """Save in the reference's exact format (training_data.py:227-248)."""
+        """Save in the reference's exact format (training_data.py:227-248).
+
+        Native C++ writer when available; np.savetxt fallback produces
+        byte-identical output.
+        """
+        from gym2048_tpu import native
+
         items = self.size()
+        header = self.construct_header(add_returns)
+        returns = self.get_discounted_return() if add_returns else None
+        if native.available():
+            native.csv_write(
+                str(filename), ",".join(header), self._x, self._y_digit,
+                self._reward, self._next_x, self._done,
+                returns=returns,
+            )
+            return
         flat = np.concatenate(
             (
                 self._x.reshape(items, 16),
@@ -296,8 +324,7 @@ class TrainingData:
             axis=1,
         )
         if add_returns:
-            flat = np.concatenate((flat, self.get_discounted_return()), axis=1)
-        header = self.construct_header(add_returns)
+            flat = np.concatenate((flat, returns), axis=1)
         fformat = "%d," * 17 + "%f," + "%d," * 16 + "%i"
         if add_returns:
             fformat += ",%f"
