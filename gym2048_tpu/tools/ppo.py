@@ -45,6 +45,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--save-interval", type=int, default=100,
                    help="Checkpoint every N rollouts (0 = disable)")
     p.add_argument("--illegal-move-reward", type=float, default=0.0)
+    p.add_argument("--log2-rewards", action="store_true",
+                   help="log2-compress rewards before GAE (TPU extra; "
+                        "default off = exact SB3 semantics)")
+    p.add_argument("--reward-scale", type=float, default=1.0)
     p.add_argument("--log-dir", default="./logs")
     p.add_argument("--ckpt-dir", default="./checkpoints")
     p.add_argument("--resume", action="store_true",
@@ -87,6 +91,8 @@ def main(argv=None) -> None:
         filters=args.filters,
         residual_blocks=args.residual_blocks,
         illegal_move_reward=args.illegal_move_reward,
+        log2_rewards=args.log2_rewards,
+        reward_scale=args.reward_scale,
     )
     ppo = PPO(cfg)
     state = ppo.init_state()

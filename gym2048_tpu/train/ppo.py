@@ -57,6 +57,23 @@ class PPOConfig:
     residual_blocks: int = 4
     illegal_move_reward: float = 0.0
     compute_dtype: Any = jnp.float32
+    # TPU extras (default off => exact reference/SB3 semantics):
+    # log2-compress merge rewards before GAE — keeps the value target in a
+    # small range (the reference applies the same transform to SL data,
+    # training_data.py:97-102, but not in PPO).
+    log2_rewards: bool = False
+    reward_scale: float = 1.0
+    # Minibatch shuffling:
+    #   "global"  — SB3-style uniform shuffle of the flat (T*B) buffer.
+    #     Statistically exact, but with the env batch sharded over a mesh
+    #     the index gather becomes a cross-device all-to-all every step.
+    #   "sharded" — independent per-env permutation of the time axis, then
+    #     minibatches are contiguous time-slices x all envs. Every sample
+    #     is still used exactly once per epoch and each minibatch is an
+    #     unbiased sample; all data movement stays device-local (the only
+    #     collective left in the update is the gradient psum over ICI).
+    #     Requires batch_size % n_envs == 0.
+    shuffle_mode: str = "global"
 
     @property
     def rollout_size(self) -> int:
@@ -232,35 +249,78 @@ class PPO:
         }
         return loss, aux
 
-    def _update_epochs(self, state: TrainState, data, key):
-        """n_epochs x shuffled minibatches of SGD over the flat buffer."""
-        cfg = self.cfg
-        flat_size = cfg.rollout_size
+    def _sgd_scan(self, state_tuple, minibatch_fn, n_minibatches):
+        """Scan ``n_minibatches`` SGD steps; ``minibatch_fn(i) -> batch``."""
 
-        def epoch_fn(carry, k_epoch):
+        def mb_fn(carry, mb_idx):
             params, batch_stats, opt_state = carry
-            perm = jax.random.permutation(k_epoch, flat_size)
+            mb = minibatch_fn(mb_idx)
+            (loss, aux), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(params, batch_stats, mb, None)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            batch_stats = aux.pop("batch_stats")
+            aux["loss"] = loss
+            return (params, batch_stats, opt_state), aux
 
-            def mb_fn(carry, mb_idx):
-                params, batch_stats, opt_state = carry
-                idx = jax.lax.dynamic_slice_in_dim(
-                    perm, mb_idx * cfg.batch_size, cfg.batch_size
-                )
-                mb = jax.tree.map(lambda x: x[idx], data)
-                (loss, aux), grads = jax.value_and_grad(
-                    self._loss_fn, has_aux=True
-                )(params, batch_stats, mb, None)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                batch_stats = aux.pop("batch_stats")
-                aux["loss"] = loss
-                return (params, batch_stats, opt_state), aux
+        return jax.lax.scan(
+            mb_fn, state_tuple, jnp.arange(n_minibatches)
+        )
 
-            carry, auxs = jax.lax.scan(
-                mb_fn, (params, batch_stats, opt_state),
-                jnp.arange(cfg.n_minibatches),
+    def _update_epochs(self, state: TrainState, data, key):
+        """n_epochs of shuffled minibatch SGD over the (T, B) buffer.
+
+        ``data`` is time-major: every leaf has shape (n_steps, n_envs, ...).
+        See PPOConfig.shuffle_mode for the two shuffling strategies.
+        """
+        cfg = self.cfg
+
+        if cfg.shuffle_mode == "sharded":
+            assert cfg.batch_size % cfg.n_envs == 0, (
+                "shuffle_mode='sharded' needs batch_size % n_envs == 0"
             )
-            return carry, auxs
+            rows = cfg.batch_size // cfg.n_envs
+            assert cfg.n_steps % rows == 0
+
+            def epoch_fn(carry, k_epoch):
+                # independent time permutation per env column (local to
+                # each shard of the env axis)
+                u = jax.random.uniform(k_epoch, (cfg.n_steps, cfg.n_envs))
+                idx = jnp.argsort(u, axis=0)
+
+                def permute(x):
+                    ix = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+                    return jnp.take_along_axis(x, ix, axis=0)
+
+                shuffled = jax.tree.map(permute, data)
+
+                def minibatch(mb_idx):
+                    def slice_rows(x):
+                        sl = jax.lax.dynamic_slice_in_dim(
+                            x, mb_idx * rows, rows, axis=0
+                        )
+                        return sl.reshape((rows * cfg.n_envs,) + x.shape[2:])
+
+                    return jax.tree.map(slice_rows, shuffled)
+
+                return self._sgd_scan(carry, minibatch, cfg.n_minibatches)
+
+        else:
+            flat_data = jax.tree.map(
+                lambda x: x.reshape((cfg.rollout_size,) + x.shape[2:]), data
+            )
+
+            def epoch_fn(carry, k_epoch):
+                perm = jax.random.permutation(k_epoch, cfg.rollout_size)
+
+                def minibatch(mb_idx):
+                    idx = jax.lax.dynamic_slice_in_dim(
+                        perm, mb_idx * cfg.batch_size, cfg.batch_size
+                    )
+                    return jax.tree.map(lambda x: x[idx], flat_data)
+
+                return self._sgd_scan(carry, minibatch, cfg.n_minibatches)
 
         keys = jax.random.split(key, cfg.n_epochs)
         (params, batch_stats, opt_state), auxs = jax.lax.scan(
@@ -279,26 +339,22 @@ class PPO:
         cfg = self.cfg
         env_state, key, traj, last_value = self._collect_rollout(state)
 
+        train_reward = traj.reward
+        if cfg.log2_rewards:
+            train_reward = jnp.sign(train_reward) * jnp.log2(
+                1.0 + jnp.abs(train_reward)
+            )
+        train_reward = train_reward * cfg.reward_scale
+
         adv, ret = returns_ops.gae(
-            traj.reward, traj.value, traj.done, last_value,
+            train_reward, traj.value, traj.done, last_value,
             gamma=cfg.gamma, lam=cfg.gae_lambda,
         )
 
-        flat = lambda x: x.reshape((cfg.rollout_size,) + x.shape[2:])
-        data = Transition(
-            board=flat(traj.board),
-            action=flat(traj.action),
-            logprob=flat(traj.logprob),
-            value=flat(traj.value),
-            reward=flat(traj.reward),
-            done=flat(traj.done),
-            score=flat(traj.score),
-            highest=flat(traj.highest),
-        )
-        # attach adv/ret for the loss (reuse the struct via dynamic fields)
+        # time-major (T, B) update buffer; shuffling happens per epoch
         data = _UpdateBatch(
-            board=data.board, action=data.action, logprob=data.logprob,
-            adv=flat(adv), ret=flat(ret),
+            board=traj.board, action=traj.action, logprob=traj.logprob,
+            adv=adv, ret=ret,
         )
 
         key, k_update = jax.random.split(key)

@@ -1,0 +1,163 @@
+"""Weak-scaling measurement of the sharded env + PPO over a device mesh.
+
+On a multi-chip TPU slice this measures real ICI scaling; on a dev box it
+runs on N virtual CPU devices (JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=8) and validates the
+scaling *shape* (the sharded program must not serialise). Results to
+stdout as JSON lines and optionally docs/SCALING.md.
+
+Usage: python scripts/scaling_bench.py [--boards-per-device 8192] [--md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_CPU = os.environ.get("GYM2048_SCALING_CPU", "1") == "1"
+if _CPU:
+    # default to the virtual CPU mesh unless explicitly on TPU hardware
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax  # noqa: E402
+
+if _CPU:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def env_rollout_rate(n_devices: int, boards_per_device: int, length: int
+                     ) -> float:
+    """Random-legal rollout steps/s on the first n_devices of the mesh."""
+    from gym2048_tpu.env import EnvConfig, batched
+    from gym2048_tpu.parallel import make_mesh, shard_env_state
+
+    batch = n_devices * boards_per_device
+    mesh = make_mesh(jax.devices()[:n_devices])
+    state = shard_env_state(batched.reset(jax.random.PRNGKey(0), batch), mesh)
+    cfg = EnvConfig(auto_reset=True)
+
+    @jax.jit
+    def rollout(state):
+        def body(state, _):
+            key = jax.random.fold_in(state.key, 1)
+            mask = batched.legal_actions(state)
+            act = jax.random.categorical(
+                key, jnp.where(mask, 0.0, -1e9), axis=-1)
+            state, _ = batched.step(state, act, cfg)
+            return state, ()
+
+        state, _ = jax.lax.scan(body, state, None, length=length)
+        return state, state.score.sum()
+
+    state, c = rollout(state)
+    float(c)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, c = rollout(state)
+        float(c)
+        best = min(best, time.perf_counter() - t0)
+    return batch * length / best
+
+
+def ppo_iteration_rate(n_devices: int, envs_per_device: int) -> float:
+    """PPO env-steps/s (rollout+update) on n_devices."""
+    from gym2048_tpu.parallel import make_mesh, shard_train_state
+    from gym2048_tpu.train import PPO, PPOConfig
+
+    cfg = PPOConfig(
+        total_timesteps=10**9,
+        n_envs=n_devices * envs_per_device,
+        n_steps=16,
+        batch_size=n_devices * envs_per_device * 2,
+        n_epochs=1,
+        filters=16,
+        residual_blocks=2,
+    )
+    ppo = PPO(cfg)
+    mesh = make_mesh(jax.devices()[:n_devices])
+    state = shard_train_state(ppo.init_state(jax.random.PRNGKey(0)), mesh)
+    state, metrics = ppo.train_iteration(state)  # compile
+    float(np.asarray(metrics["loss"]))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state, metrics = ppo.train_iteration(state)
+        float(np.asarray(metrics["loss"]))
+        best = min(best, time.perf_counter() - t0)
+    return cfg.rollout_size / best
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--boards-per-device", type=int, default=8192)
+    p.add_argument("--envs-per-device", type=int, default=512)
+    p.add_argument("--length", type=int, default=64)
+    p.add_argument("--md", action="store_true",
+                   help="also write docs/SCALING.md")
+    args = p.parse_args()
+
+    n_avail = len(jax.devices())
+    device_counts = [n for n in (1, 2, 4, 8) if n <= n_avail]
+    rows = []
+    for n in device_counts:
+        env_rate = env_rollout_rate(n, args.boards_per_device, args.length)
+        ppo_rate = ppo_iteration_rate(n, args.envs_per_device)
+        row = {
+            "devices": n,
+            "env_batch": n * args.boards_per_device,
+            "env_steps_per_s": round(env_rate),
+            "ppo_steps_per_s": round(ppo_rate),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    base = rows[0]
+    for row in rows:
+        row["env_scaling_eff"] = round(
+            row["env_steps_per_s"]
+            / (base["env_steps_per_s"] * row["devices"]), 2)
+
+    if args.md:
+        lines = [
+            "# Weak scaling — sharded env + PPO over the device mesh",
+            "",
+            f"Platform: {jax.devices()[0].platform} x{n_avail} "
+            f"({jax.devices()[0]}), boards/device="
+            f"{args.boards_per_device}, PPO envs/device="
+            f"{args.envs_per_device}.",
+            "",
+            "| devices | env batch | env steps/s | scaling eff |"
+            " PPO steps/s |",
+            "|---|---|---|---|---|",
+        ]
+        for row in rows:
+            lines.append(
+                f"| {row['devices']} | {row['env_batch']} | "
+                f"{row['env_steps_per_s']:,} | "
+                f"{row['env_scaling_eff']} | "
+                f"{row['ppo_steps_per_s']:,} |"
+            )
+        out = "\n".join(lines) + "\n"
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "docs", "SCALING.md")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(out)
+        print(f"wrote {os.path.abspath(path)}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    main()

@@ -83,6 +83,27 @@ class TestShardedPPO:
         assert len(leaf.sharding.device_set) == 8
         assert leaf.sharding.is_fully_replicated
 
+    def test_train_iteration_dp8_sharded_shuffle(self, mesh):
+        cfg = PPOConfig(
+            total_timesteps=1024,
+            n_envs=64,
+            n_steps=8,
+            batch_size=128,
+            n_epochs=2,
+            filters=8,
+            residual_blocks=1,
+            shuffle_mode="sharded",
+        )
+        ppo = PPO(cfg)
+        state = shard_train_state(ppo.init_state(jax.random.PRNGKey(0)), mesh)
+        state, metrics = ppo.train_iteration(state)
+        assert np.isfinite(float(metrics["loss"]))
+        # learning also works single-device with the sharded shuffle
+        ppo2 = PPO(cfg)
+        s2 = ppo2.init_state(jax.random.PRNGKey(1))
+        s2, m2 = ppo2.train_iteration(s2)
+        assert np.isfinite(float(m2["loss"]))
+
     def test_graft_dryrun(self):
         import __graft_entry__ as ge
 
