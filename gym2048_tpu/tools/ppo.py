@@ -49,6 +49,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="log2-compress rewards before GAE (TPU extra; "
                         "default off = exact SB3 semantics)")
     p.add_argument("--reward-scale", type=float, default=1.0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (f32 params/updates) — the MXU's"
+                        " native dtype")
     p.add_argument("--log-dir", default="./logs")
     p.add_argument("--ckpt-dir", default="./checkpoints")
     p.add_argument("--resume", action="store_true",
@@ -93,6 +96,8 @@ def main(argv=None) -> None:
         illegal_move_reward=args.illegal_move_reward,
         log2_rewards=args.log2_rewards,
         reward_scale=args.reward_scale,
+        compute_dtype=(jax.numpy.bfloat16 if args.bf16
+                       else jax.numpy.float32),
     )
     ppo = PPO(cfg)
     state = ppo.init_state()

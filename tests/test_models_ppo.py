@@ -100,6 +100,19 @@ class TestPPO:
         assert len(logs) == TINY.n_updates
         assert logs[-1][1]["timesteps"] == TINY.n_updates * TINY.rollout_size
 
+    def test_bf16_compute(self):
+        cfg = PPOConfig(
+            total_timesteps=256, n_envs=16, n_steps=4, batch_size=16,
+            n_epochs=1, filters=8, residual_blocks=1,
+            compute_dtype=jnp.bfloat16,
+        )
+        ppo = PPO(cfg)
+        state = ppo.init_state(jax.random.PRNGKey(0))
+        # params stay f32; compute in bf16
+        assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+        state, metrics = ppo.train_iteration(state)
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_anneal_lr_compiles(self):
         cfg = PPOConfig(
             total_timesteps=256, n_envs=16, n_steps=4, batch_size=16,
