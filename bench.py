@@ -69,8 +69,8 @@ def time_rollout(rollout, state, repeats: int) -> tuple[float, object]:
     return best, state
 
 
-PALLAS_BATCH = 262144
-PALLAS_BLOCK = 1024
+PALLAS_BATCH = 1048576
+PALLAS_BLOCK = 8192
 
 
 def bench_xla() -> tuple[float, float]:

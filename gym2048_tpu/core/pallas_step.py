@@ -134,18 +134,21 @@ def _compute_moves(board: jax.Array):
 
 
 def _apply_action(outs: list[jax.Array], action: jax.Array) -> jax.Array:
-    """Rebuild the moved cell-major board for the chosen direction."""
-    new_cells = []
-    for rr in range(4):
-        for cc in range(4):
-            cand = [
-                outs[rr][0 * 4 + cc],        # up: k=row, line=col
-                outs[3 - cc][1 * 4 + rr],    # right: k=3-col, line=row
-                outs[3 - rr][2 * 4 + cc],    # down: k=3-row, line=col
-                outs[cc][3 * 4 + rr],        # left: k=col, line=row
-            ]
-            new_cells.append(_select4(action, cand))
-    return jnp.stack(new_cells)
+    """Rebuild the moved cell-major board for the chosen direction.
+
+    First materialise each direction's moved board as a static row
+    permutation of the shift outputs, then pick between the four with 3
+    whole-tile selects — full sublane utilisation instead of per-cell
+    row selects.
+    """
+    moved_dir = []
+    for d in range(4):
+        rows = [None] * 16
+        for line in range(4):
+            for k in range(4):
+                rows[_cell(d, line, k)] = outs[k][4 * d + line]
+        moved_dir.append(jnp.stack(rows))
+    return _select4(action[None, :], moved_dir)
 
 
 def _spawn_cm(bd: jax.Array, u_p: jax.Array, u_v: jax.Array) -> jax.Array:
@@ -155,20 +158,17 @@ def _spawn_cm(bd: jax.Array, u_p: jax.Array, u_v: jax.Array) -> jax.Array:
     The prefix count over cells is unrolled row-by-row (Mosaic has no
     cumsum primitive, and 16 static rows unroll to plain vector adds).
     """
-    empty = [(bd[i] == 0).astype(jnp.int32) for i in range(16)]
-    n_empty = empty[0]
-    for i in range(1, 16):
-        n_empty = n_empty + empty[i]
-    k = (u_p * n_empty.astype(jnp.float32)).astype(jnp.int32)
-    k = jnp.minimum(k, jnp.maximum(n_empty - 1, 0))
+    empty_f = (bd == 0).astype(jnp.float32)  # [16, B]
+    # inclusive prefix count over cells as ONE small MXU matmul with a
+    # lower-triangular ones matrix (values <= 16, exact in f32)
+    tri = jnp.tril(jnp.ones((16, 16), jnp.float32))
+    csum = jnp.dot(tri, empty_f, preferred_element_type=jnp.float32)
+    n_empty = csum[15]
+    k = jnp.floor(u_p * n_empty)
+    k = jnp.minimum(k, jnp.maximum(n_empty - 1.0, 0.0))
+    target = (empty_f == 1.0) & (csum == (k + 1.0)[None, :])
     val = jnp.where(u_v < 0.9, 1, 2)
-    rows = []
-    run = jnp.zeros_like(k)
-    for i in range(16):
-        run = run + empty[i]
-        hit = (empty[i] == 1) & (run == k + 1)
-        rows.append(bd[i] + hit.astype(jnp.int32) * val)
-    return jnp.stack(rows)
+    return bd + target.astype(jnp.int32) * val[None, :]
 
 
 # --------------------------------------------------------------- kernels
