@@ -49,6 +49,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="log2-compress rewards before GAE (TPU extra; "
                         "default off = exact SB3 semantics)")
     p.add_argument("--reward-scale", type=float, default=1.0)
+    p.add_argument("--mask-illegal", action="store_true",
+                   help="Mask illegal actions in the policy (TPU extra; "
+                        "the reference/SB3 has no legality oracle)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (f32 params/updates) — the MXU's"
                         " native dtype")
@@ -96,6 +99,7 @@ def main(argv=None) -> None:
         illegal_move_reward=args.illegal_move_reward,
         log2_rewards=args.log2_rewards,
         reward_scale=args.reward_scale,
+        mask_illegal=args.mask_illegal,
         compute_dtype=(jax.numpy.bfloat16 if args.bf16
                        else jax.numpy.float32),
     )

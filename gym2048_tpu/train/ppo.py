@@ -74,6 +74,11 @@ class PPOConfig:
     #     collective left in the update is the gradient psum over ICI).
     #     Requires batch_size % n_envs == 0.
     shuffle_mode: str = "global"
+    # Mask illegal actions in the policy (rollout AND update — the mask is
+    # recomputed from the stored boards, so the two stay consistent). The
+    # reference/SB3 cannot do this (no legality oracle); with masking an
+    # episode only ends when the board is truly dead.
+    mask_illegal: bool = False
 
     @property
     def rollout_size(self) -> int:
@@ -183,6 +188,9 @@ class PPO:
             env_state, key = carry
             key, k_act = jax.random.split(key)
             logits, value = self._policy(params, batch_stats, env_state.board)
+            if self.cfg.mask_illegal:
+                mask = batched.legal_actions(env_state)
+                logits = jnp.where(mask, logits, -1e9)
             action = jax.random.categorical(k_act, logits, axis=-1)
             logprob = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[:, None], axis=-1
@@ -216,6 +224,11 @@ class PPO:
             {"params": params, "batch_stats": batch_stats},
             obs, train=True, mutable=["batch_stats"],
         )
+        if cfg.mask_illegal:
+            from gym2048_tpu.core import rules
+
+            _, _, legal = jax.vmap(rules.move_all)(mb.board)
+            logits = jnp.where(legal, logits, -1e9)
         log_probs = jax.nn.log_softmax(logits)
         logprob = jnp.take_along_axis(
             log_probs, mb.action[:, None], axis=-1
@@ -230,7 +243,11 @@ class PPO:
         policy_loss = -jnp.minimum(pg1, pg2).mean()
 
         value_loss = jnp.mean((value - mb.ret) ** 2)
-        entropy = -(jnp.exp(log_probs) * log_probs).sum(-1).mean()
+        # entropy over the (possibly masked) distribution; guard the
+        # p * log p = 0 * -1e9 products of masked actions
+        probs = jnp.exp(log_probs)
+        plogp = jnp.where(probs > 1e-12, probs * log_probs, 0.0)
+        entropy = -plogp.sum(-1).mean()
 
         loss = (
             policy_loss

@@ -100,6 +100,22 @@ class TestPPO:
         assert len(logs) == TINY.n_updates
         assert logs[-1][1]["timesteps"] == TINY.n_updates * TINY.rollout_size
 
+    def test_mask_illegal(self):
+        cfg = PPOConfig(
+            total_timesteps=512, n_envs=32, n_steps=8, batch_size=64,
+            n_epochs=1, filters=8, residual_blocks=1, mask_illegal=True,
+        )
+        ppo = PPO(cfg)
+        state = ppo.init_state(jax.random.PRNGKey(0))
+        state, metrics = ppo.train_iteration(state)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["entropy"]))
+        # with masking, a fresh batch never takes an illegal action, so no
+        # terminations occur in the first short rollout (episodes last
+        # ~120 steps) — illegal-move endings would show up immediately
+        state2, metrics2 = ppo.train_iteration(state)
+        assert float(metrics2["n_episodes"]) == 0.0
+
     def test_bf16_compute(self):
         cfg = PPOConfig(
             total_timesteps=256, n_envs=16, n_steps=4, batch_size=16,
