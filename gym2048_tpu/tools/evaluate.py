@@ -37,6 +37,9 @@ def main(argv=None) -> None:
                    help="batched on-device evaluation")
     p.add_argument("--seed", type=int, default=0,
                    help="PRNG seed for --fast mode")
+    p.add_argument("--mask-illegal", action="store_true",
+                   help="restrict the policy to legal moves (use for "
+                        "models trained with --mask-illegal; --fast only)")
     args = p.parse_args(argv)
 
     variables, meta = load_model(args.model)
@@ -50,6 +53,7 @@ def main(argv=None) -> None:
         results = evaluate_batched(
             model, variables, args.episodes, args.epsilon,
             key=jax.random.PRNGKey(args.seed),
+            mask_illegal=args.mask_illegal,
         )
         print(
             f"Highest tile: {results['Highest tile']}, Average score: "

@@ -112,8 +112,7 @@ def gather_episode(env, predict, data, results, screen, figs, seed=None):
 
             board = unstack_np(observation)
             confidence = float(np.max(predictions))
-            _, _, predicted_legal = rules_np.move(board, predicted_action)
-            after, _, _ = rules_np.move(board, predicted_action)
+            after, _, predicted_legal = rules_np.move(board, predicted_action)
             lost_corner = (
                 high_tile_in_corner(board)
                 and not high_tile_in_corner(after)

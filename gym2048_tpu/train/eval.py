@@ -163,9 +163,15 @@ def evaluate_batched(
     epsilon: float,
     key: jax.Array | None = None,
     move_cap: int = MOVE_CAP,
+    mask_illegal: bool = False,
 ) -> dict:
     """All episodes in parallel on device; same protocol semantics
     (illegal reward -1, epsilon-greedy argmax, move cap), device RNG.
+
+    ``mask_illegal`` restricts both the greedy argmax and the epsilon
+    exploration to legal moves — required when evaluating a policy trained
+    with ``PPOConfig.mask_illegal`` (such a policy never learned to rank
+    illegal actions low).
 
     Returns the same result dict shape as :func:`evaluate_model`.
     """
@@ -197,9 +203,17 @@ def evaluate_batched(
             logits = out[0] if isinstance(out, tuple) else jnp.log(
                 jnp.maximum(out, 1e-30)
             )
+            if mask_illegal:
+                mask = batched.legal_actions(state)
+                logits = jnp.where(mask, logits, -1e9)
             greedy = logits.argmax(-1).astype(jnp.int32)
             explore = jax.random.uniform(k_eps, (episodes,)) <= epsilon
-            rand_act = jax.random.randint(k_rand, (episodes,), 0, 4)
+            if mask_illegal:
+                rand_act = jax.random.categorical(
+                    k_rand, jnp.where(mask, 0.0, -1e9), axis=-1
+                ).astype(jnp.int32)
+            else:
+                rand_act = jax.random.randint(k_rand, (episodes,), 0, 4)
             action = jnp.where(explore, rand_act, greedy)
             state, ts = batched.step(state, action, cfg)
             total_reward += jnp.where(active, ts.reward, 0.0)

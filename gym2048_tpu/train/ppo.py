@@ -416,11 +416,29 @@ class PPO:
         if state is None:
             state = self.init_state()
         start = int(state.update_idx)
+        # rolling episode stats (SB3's ep_info_buffer equivalent): per-rollout
+        # means can be empty (0 episodes) for long-episode configs, so keep a
+        # completion-weighted running view on the host.
+        rolling = {"ep_return": 0.0, "highest": 0.0, "weight": 0.0}
         for update in range(start, cfg.n_updates):
             state, metrics = self.train_iteration(state)
             if callback is not None or (update + 1) % log_interval == 0:
                 host = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 host["timesteps"] = (update + 1) * cfg.rollout_size
+                n_eps = host.get("n_episodes", 0.0)
+                if n_eps > 0:
+                    w = rolling["weight"] * 0.5 + n_eps
+                    rolling["ep_return"] = (
+                        rolling["ep_return"] * rolling["weight"] * 0.5
+                        + host["ep_return_mean"] * n_eps
+                    ) / w
+                    rolling["highest"] = (
+                        rolling["highest"] * rolling["weight"] * 0.5
+                        + host["highest_tile_mean"] * n_eps
+                    ) / w
+                    rolling["weight"] = w
+                host["ep_return_rolling"] = rolling["ep_return"]
+                host["highest_tile_rolling"] = rolling["highest"]
                 if callback is not None:
                     callback(update + 1, host)
                 else:
