@@ -90,12 +90,15 @@ class EnvState:
 class TimeStep:
     """Result of one batched step (the VecEnv 5-tuple, as arrays).
 
-    ``board`` is the post-auto-reset observation board; ``terminated``,
+    ``board`` is the post-auto-reset observation board; ``final_board`` is
+    the true post-transition board *before* any auto-reset (SB3 exposes
+    the same thing as ``terminal_observation`` in info); ``terminated``,
     ``reward``, ``illegal``, ``highest`` and ``score`` describe the
     transition itself (pre-reset).
     """
 
-    board: jax.Array        # (B, 4, 4) int8
+    board: jax.Array        # (B, 4, 4) int8 — post-auto-reset
+    final_board: jax.Array  # (B, 4, 4) int8 — pre-reset transition result
     reward: jax.Array       # (B,) float32
     terminated: jax.Array   # (B,) bool
     truncated: jax.Array    # (B,) bool — always False, as in the reference
@@ -127,6 +130,15 @@ def reset(key: jax.Array, batch_size: int) -> EnvState:
     )
 
 
+def move_products(state: EnvState):
+    """All-directions move results for the current boards:
+    ``(moved (B,4,4,4), scores (B,4), changed (B,4))``. Compute once and
+    pass to :func:`step_with_products` when the caller also needs the
+    legality mask (e.g. masked policies) — avoids a second ``move_all``.
+    """
+    return jax.vmap(rules.move_all)(state.board)
+
+
 @partial(jax.jit, static_argnums=(2,))
 def step(
     state: EnvState, action: jax.Array, config: EnvConfig = EnvConfig()
@@ -141,11 +153,22 @@ def step(
     Returns:
         ``(new_state, timestep)``.
     """
+    return step_with_products(state, action, move_products(state), config)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def step_with_products(
+    state: EnvState,
+    action: jax.Array,
+    products,
+    config: EnvConfig = EnvConfig(),
+) -> tuple[EnvState, TimeStep]:
+    """Like :func:`step`, with the :func:`move_products` precomputed."""
     batch = state.board.shape[0]
     key, k_u = jax.random.split(state.key)
     u = jax.random.uniform(k_u, (batch, 6))
 
-    moved, scores, changed = jax.vmap(rules.move_all)(state.board)
+    moved, scores, changed = products
     sel = (jnp.arange(4)[None, :] == action[:, None])
     board_after = jnp.where(
         sel[:, :, None, None], moved, 0
@@ -191,6 +214,7 @@ def step(
     )
     ts = TimeStep(
         board=out_board,
+        final_board=new_board,
         reward=reward,
         terminated=terminated,
         truncated=jnp.zeros(batch, bool),

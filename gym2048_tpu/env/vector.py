@@ -49,6 +49,7 @@ class BatchedVectorEnv(gym.vector.VectorEnv):
         )
         self._seed = seed
         self._state: batched.EnvState | None = None
+        # int32 on device, cast to the declared int64 Box dtype on host
         self._obs = jax.jit(lambda b: obs_ops.env_stack(b, dtype=np.int32))
         self._step = jax.jit(
             lambda s, a: batched.step(s, a, config)
@@ -61,14 +62,15 @@ class BatchedVectorEnv(gym.vector.VectorEnv):
         self._state = batched.reset(
             jax.random.PRNGKey(self._seed), self.num_envs
         )
-        obs = np.asarray(self._obs(self._state.board))
+        obs = np.asarray(self._obs(self._state.board), dtype=np.int64)
         return obs, {}
 
     def step(self, actions):
         assert self._state is not None, "call reset() first"
         actions = jax.numpy.asarray(np.asarray(actions), jax.numpy.int32)
         self._state, ts = self._step(self._state, actions)
-        obs = np.asarray(self._obs(ts.board))  # post-auto-reset boards
+        # post-auto-reset boards, in the declared observation dtype
+        obs = np.asarray(self._obs(ts.board), dtype=np.int64)
         rewards = np.asarray(ts.reward)
         terminated = np.asarray(ts.terminated)
         truncated = np.asarray(ts.truncated)

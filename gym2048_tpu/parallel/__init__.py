@@ -1,4 +1,5 @@
 from gym2048_tpu.parallel.mesh import (  # noqa: F401
+    init_distributed,
     make_mesh,
     replicate,
     shard_batch,

@@ -29,18 +29,37 @@ MODEL_AXIS = "model"
 
 
 def init_distributed(**kwargs) -> None:
-    """Initialise the JAX multi-host runtime (no-op if single-process).
+    """Initialise the JAX multi-host runtime.
 
     Thin wrapper over ``jax.distributed.initialize``; coordinator address
-    etc. come from env vars or kwargs.
+    etc. come from env vars or kwargs. Must run before any other JAX call
+    (touching a backend first would pin single-process mode). Failures are
+    only swallowed when no coordinator is configured anywhere (a genuine
+    single-process run); with a coordinator configured they re-raise, so a
+    pod job can never silently degrade to independent per-host training.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
+    import os
+    import warnings
+
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:  # older jax without is_initialized
+        pass
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process run without coordinator configuration
-        pass
+    except (ValueError, RuntimeError) as e:
+        coordinator = (
+            kwargs.get("coordinator_address")
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")
+        )
+        if coordinator:
+            raise
+        warnings.warn(
+            f"init_distributed: no coordinator configured, continuing "
+            f"single-process ({e})"
+        )
 
 
 def make_mesh(

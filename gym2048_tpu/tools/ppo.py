@@ -65,7 +65,6 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 def main(argv=None) -> None:
     import jax
-    import numpy as np
 
     from gym2048_tpu.train import PPO, PPOConfig
     from gym2048_tpu.utils.checkpoint import (
@@ -122,13 +121,13 @@ def main(argv=None) -> None:
     logger = MetricsLogger(args.log_dir, run_name)
     last_video = {"t": 0}
 
-    def callback(update: int, metrics: dict) -> None:
+    def callback(update: int, metrics: dict, state) -> None:
         timesteps = metrics["timesteps"]
         if update % args.log_interval == 0:
             logger.log(timesteps, {
-                "rollout/ep_rew_mean": metrics["ep_return_mean"],
+                "rollout/ep_rew_mean": metrics["ep_return_rolling"],
                 "rollout/ep_len_mean": metrics["ep_len_mean"],
-                "rollout/highest_tile": metrics["highest_tile_mean"],
+                "rollout/highest_tile": metrics["highest_tile_rolling"],
                 "train/loss": metrics["loss"],
                 "train/policy_loss": metrics["policy_loss"],
                 "train/value_loss": metrics["value_loss"],
@@ -138,27 +137,19 @@ def main(argv=None) -> None:
             })
             print(
                 f"update {update}/{cfg.n_updates} steps {timesteps} "
-                f"ep_rew {metrics['ep_return_mean']:.1f} "
-                f"highest {metrics['highest_tile_mean']:.0f} "
+                f"ep_rew {metrics['ep_return_rolling']:.1f} "
+                f"highest {metrics['highest_tile_rolling']:.0f} "
                 f"kl {metrics['approx_kl']:.4f}"
             )
         if ckpt is not None and update % args.save_interval == 0:
-            ckpt.save(update, state_holder["state"])
+            ckpt.save(update, state)
         if args.video_freq > 0 and (
             timesteps - last_video["t"] >= args.video_freq
         ):
             last_video["t"] = timesteps
-            _record_video(ppo, state_holder["state"], run_name, timesteps)
+            _record_video(ppo, state, run_name, timesteps)
 
-    state_holder = {"state": state}
-
-    start = int(state.update_idx)
-    for update in range(start, cfg.n_updates):
-        state, metrics = ppo.train_iteration(state)
-        state_holder["state"] = state
-        host = {k: float(np.asarray(v)) for k, v in metrics.items()}
-        host["timesteps"] = (update + 1) * cfg.rollout_size
-        callback(update + 1, host)
+    state = ppo.learn(state, callback=callback, log_interval=1)
 
     final_path = f"ppo_model_final_{int(time.time())}.pkl"
     save_model(

@@ -71,21 +71,42 @@ def generate(
                 act = jnp.where(explore, rand, greedy)
             before = state.board
             state, ts = batched.step(state, act, cfg)
-            return state, (before, act, ts.reward, ts.board, ts.terminated,
-                           ts.illegal)
+            # ts.final_board is the true post-transition board (pre-reset);
+            # ts.board would leak the next episode's reset board into next_x
+            return state, (before, act, ts.reward, ts.final_board,
+                           ts.terminated, ts.illegal)
         return jax.lax.scan(body, state, None, length=steps)
 
     state = batched.reset(jax.random.PRNGKey(seed), batch)
     _, (boards, actions, rewards, nexts, dones, illegal) = rollout(state)
 
-    flat = lambda x: np.asarray(x).reshape((-1,) + x.shape[2:])
-    keep = ~flat(illegal)
+    # time-major (T, B) -> per-env-contiguous (B*T) so episodes stay in
+    # game order for return computation
+    def flat(x):
+        x = np.asarray(x)
+        return np.swapaxes(x, 0, 1).reshape((-1,) + x.shape[2:])
+
+    boards, actions, rewards, nexts, dones, illegal = map(
+        flat, (boards, actions, rewards, nexts, dones, illegal))
+
+    # Drop illegal transitions (board unchanged — not a training signal;
+    # the reference collector also skips them) but keep their episode
+    # boundary: an illegal move terminates, so mark the previous kept row
+    # of the same episode as done.
+    keep = ~illegal
+    dropped_done = illegal & dones
+    env_of = np.arange(len(keep)) // steps
+    for i in np.nonzero(dropped_done)[0]:
+        j = i - 1
+        # walk past other dropped rows, staying inside this env's slice
+        # and this episode (an earlier done ends the search)
+        while j >= 0 and env_of[j] == env_of[i] and not keep[j] \
+                and not dones[j]:
+            j -= 1
+        if j >= 0 and env_of[j] == env_of[i] and keep[j] and not dones[j]:
+            dones[j] = True
     td = TrainingData.from_rollout(
-        flat(boards)[keep],
-        flat(actions)[keep],
-        flat(rewards)[keep],
-        flat(nexts)[keep],
-        flat(dones)[keep],
+        boards[keep], actions[keep], rewards[keep], nexts[keep], dones[keep]
     )
     return td
 

@@ -203,19 +203,25 @@ def evaluate_batched(
             logits = out[0] if isinstance(out, tuple) else jnp.log(
                 jnp.maximum(out, 1e-30)
             )
+            products = None
             if mask_illegal:
-                mask = batched.legal_actions(state)
-                logits = jnp.where(mask, logits, -1e9)
+                products = batched.move_products(state)
+                logits = jnp.where(products[2], logits, -1e9)
             greedy = logits.argmax(-1).astype(jnp.int32)
             explore = jax.random.uniform(k_eps, (episodes,)) <= epsilon
             if mask_illegal:
                 rand_act = jax.random.categorical(
-                    k_rand, jnp.where(mask, 0.0, -1e9), axis=-1
+                    k_rand, jnp.where(products[2], 0.0, -1e9), axis=-1
                 ).astype(jnp.int32)
             else:
                 rand_act = jax.random.randint(k_rand, (episodes,), 0, 4)
             action = jnp.where(explore, rand_act, greedy)
-            state, ts = batched.step(state, action, cfg)
+            if products is None:
+                state, ts = batched.step(state, action, cfg)
+            else:
+                state, ts = batched.step_with_products(
+                    state, action, products, cfg
+                )
             total_reward += jnp.where(active, ts.reward, 0.0)
             illegals += (active & ts.illegal).astype(jnp.int32)
             moves += active.astype(jnp.int32)

@@ -188,15 +188,22 @@ class PPO:
             env_state, key = carry
             key, k_act = jax.random.split(key)
             logits, value = self._policy(params, batch_stats, env_state.board)
+            products = None
             if self.cfg.mask_illegal:
-                mask = batched.legal_actions(env_state)
-                logits = jnp.where(mask, logits, -1e9)
+                # one move_all serves both the policy mask and the env step
+                products = batched.move_products(env_state)
+                logits = jnp.where(products[2], logits, -1e9)
             action = jax.random.categorical(k_act, logits, axis=-1)
             logprob = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[:, None], axis=-1
             )[:, 0]
             board_before = env_state.board
-            env_state, ts = batched.step(env_state, action, self.env_cfg)
+            if products is None:
+                env_state, ts = batched.step(env_state, action, self.env_cfg)
+            else:
+                env_state, ts = batched.step_with_products(
+                    env_state, action, products, self.env_cfg
+                )
             tr = Transition(
                 board=board_before,
                 action=action.astype(jnp.int32),
@@ -408,13 +415,23 @@ class PPO:
     def learn(
         self,
         state: TrainState | None = None,
-        callback: Callable[[int, dict], None] | None = None,
+        callback: Callable[..., None] | None = None,
         log_interval: int = 10,
     ) -> TrainState:
-        """Full training loop (host driver around the jitted iteration)."""
+        """Full training loop (host driver around the jitted iteration).
+
+        ``callback`` is invoked as ``callback(update, metrics)`` or, if it
+        accepts a third parameter, ``callback(update, metrics, state)``
+        (for checkpointing/video hooks).
+        """
+        import inspect
+
         cfg = self.cfg
         if state is None:
             state = self.init_state()
+        wants_state = callback is not None and len(
+            inspect.signature(callback).parameters
+        ) >= 3
         start = int(state.update_idx)
         # rolling episode stats (SB3's ep_info_buffer equivalent): per-rollout
         # means can be empty (0 episodes) for long-episode configs, so keep a
@@ -440,7 +457,10 @@ class PPO:
                 host["ep_return_rolling"] = rolling["ep_return"]
                 host["highest_tile_rolling"] = rolling["highest"]
                 if callback is not None:
-                    callback(update + 1, host)
+                    if wants_state:
+                        callback(update + 1, host, state)
+                    else:
+                        callback(update + 1, host)
                 else:
                     print(
                         f"update {update + 1}/{cfg.n_updates} "

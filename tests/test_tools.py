@@ -47,6 +47,39 @@ class TestSelfplay:
         td.import_csv("out.csv")
         assert td.size() >= 150
 
+    def test_done_rows_keep_terminal_board(self):
+        """next_x of a done transition must be the terminal board, not the
+        next episode's 2-tile reset board (regression)."""
+        td = selfplay.generate(6000, batch=16, seed=1)
+        dones = td.get_done().reshape(-1)
+        assert dones.any()
+        nexts = td.get_next_x()[dones]
+        tiles = (nexts > 0).sum(axis=(1, 2))
+        # a terminal (dead) board is full — 16 tiles, never 2
+        assert (tiles == 16).all()
+
+    def test_episode_order_preserved(self):
+        """Rows are env-contiguous in game order: within each episode the
+        next_x of row i equals... at least board sums never decrease
+        between consecutive non-done rows of the same episode."""
+        import numpy as np
+
+        td = selfplay.generate(2000, batch=8, seed=2)
+        x = td.get_x().sum(axis=(1, 2))
+        dones = td.get_done().reshape(-1)
+        breaks = np.where(dones[:-1])[0]
+        ok = np.ones(len(x) - 1, bool)
+        ok[breaks] = False  # across episode boundaries anything goes
+        # board total grows by 2 or 4 per step within an episode
+        diffs = np.diff(x)
+        grows = (diffs == 2) | (diffs == 4)
+        # allow env-slice boundaries too (every batch-slice join)
+        per_env = len(x) // 8
+        for b in range(1, 8):
+            if b * per_env - 1 < len(ok):
+                ok[b * per_env - 1] = False
+        assert (grows | ~ok).all()
+
 
 class TestCSVTools:
     def test_augment_cli(self, small_csv, tmp_path):
