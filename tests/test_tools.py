@@ -191,6 +191,47 @@ class TestPipelines:
         assert stats["frames"] == stats["steps"] + 1
 
 
+class TestEvaluateCLI:
+    def test_evaluate_saved_model(self, small_csv, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        train_cli.main([
+            small_csv, "--output-model", "m.pkl", "--epochs", "1",
+            "--filters", "8", "--residual-blocks", "1",
+            "--eval-episodes", "0",
+        ])
+        from gym2048_tpu.tools import evaluate as evaluate_cli
+
+        evaluate_cli.main(["m.pkl", "--episodes", "2", "--label", "t1"])
+        assert os.path.exists("scores_t1.csv")
+        evaluate_cli.main([
+            "m.pkl", "--episodes", "8", "--fast", "--mask-illegal",
+            "--label", "t2",
+        ])
+        lines = open("scores_t2.csv").read().splitlines()
+        assert len(lines) == 9
+        # masked evaluation never takes an illegal move
+        assert all(line.endswith(",0") for line in lines[1:])
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/data/test_data.csv"),
+    reason="reference fixture not available",
+)
+class TestReferenceCISmoke:
+    def test_train_on_reference_fixture(self, tmp_path, monkeypatch):
+        """The reference CI's end-to-end smoke (python train.py
+        data/test_data.csv) on our pipeline with its real 848-transition
+        human-play fixture."""
+        monkeypatch.chdir(tmp_path)
+        train_cli.main([
+            "/root/reference/data/test_data.csv",
+            "--output-model", "ref_smoke.pkl", "--epochs", "2",
+            "--filters", "8", "--residual-blocks", "1",
+            "--eval-episodes", "0",
+        ])
+        assert os.path.exists("ref_smoke.pkl")
+
+
 class TestGatherHelpers:
     def test_high_tile_in_corner(self):
         board = np.zeros((4, 4), int)
