@@ -1,0 +1,124 @@
+"""Expectimax search agent tests (beyond-reference component).
+
+The reference has no search agent; these tests validate the expectimax
+machinery against the rules engine and check it actually plays well.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym2048_tpu.agents import expectimax
+from gym2048_tpu.core import rules
+
+
+class TestSpawnChildren:
+    def test_probabilities_sum_to_one(self):
+        board = jnp.array(
+            [[1, 0, 0, 2], [0, 0, 0, 0], [0, 0, 3, 0], [0, 0, 0, 0]],
+            jnp.int8,
+        )
+        children, probs = expectimax.spawn_children(board)
+        assert children.shape == (32, 4, 4)
+        np.testing.assert_allclose(float(probs.sum()), 1.0, rtol=1e-6)
+        # occupied cells carry zero probability
+        flat = np.asarray(board).reshape(16)
+        p = np.asarray(probs)
+        for i in range(16):
+            if flat[i] != 0:
+                assert p[i] == 0.0 and p[16 + i] == 0.0
+
+    def test_children_match_spawn_law(self):
+        board = jnp.zeros((4, 4), jnp.int8).at[0, 0].set(5)
+        children, probs = expectimax.spawn_children(board)
+        p = np.asarray(probs)
+        # 15 empty cells: 2-spawns at 0.9/15, 4-spawns at 0.1/15
+        np.testing.assert_allclose(p[1:16], 0.9 / 15, rtol=1e-5)
+        np.testing.assert_allclose(p[17:32], 0.1 / 15, rtol=1e-5)
+        c = np.asarray(children)
+        assert c[1, 0, 1] == 1  # tile 2 == exponent 1
+        assert c[17, 0, 1] == 2  # tile 4 == exponent 2
+
+
+class TestActionValues:
+    def test_illegal_actions_rank_last(self):
+        # A board where only some moves are legal.
+        board = jnp.array(
+            [[1, 2, 3, 4], [2, 3, 4, 5], [3, 4, 5, 6], [4, 5, 6, 7]],
+            jnp.int8,
+        )
+        _, _, legal = rules.move_all(board)
+        q = expectimax.action_values(board, depth=1)
+        q, legal = np.asarray(q), np.asarray(legal)
+        assert (q[~legal] < -1e8).all()
+        if legal.any():
+            assert (q[legal] > -1e8).all()
+
+    def test_prefers_winning_merge(self):
+        # Merging the two 1024 tiles (exponent 10) dominates any heuristic
+        # wobble: a horizontal merge (left or right — symmetric here) must
+        # beat up/down at any depth.
+        board = jnp.array(
+            [[10, 10, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0], [0, 1, 1, 0]],
+            jnp.int8,
+        )
+        for depth in (1, 2):
+            q = expectimax.action_values(board, depth)
+            assert int(np.asarray(q).argmax()) in (1, 3)  # right or left
+
+    def test_depth_is_static_and_jittable(self):
+        board = jnp.zeros((4, 4), jnp.int8).at[0, 0].set(1).at[1, 1].set(1)
+        fn = jax.jit(lambda b: expectimax.action_values(b, 2))
+        q = fn(board)
+        assert q.shape == (4,)
+        assert bool(jnp.isfinite(q).any())
+
+
+class TestPlay:
+    def test_beats_random_play(self):
+        # 8 episodes, shallow search, capped length — still must decisively
+        # beat a random policy under the same cap.
+        res = expectimax.play_batched(
+            episodes=8, depth=1, key=jax.random.PRNGKey(0), move_cap=300
+        )
+        from gym2048_tpu.env import EnvConfig, batched
+
+        cfg = EnvConfig(auto_reset=False)
+
+        @jax.jit
+        def random_run(key):
+            state = batched.reset(key, 8)
+            total = jnp.zeros(8, jnp.float32)
+            active = jnp.ones(8, bool)
+
+            def body(c, _):
+                state, total, active, key = c
+                key, k = jax.random.split(key)
+                mask = batched.legal_actions(state)
+                act = jax.random.categorical(
+                    k, jnp.where(mask, 0.0, -1e9), axis=-1
+                )
+                state, ts = batched.step(state, act, cfg)
+                total += jnp.where(active, ts.reward, 0.0)
+                active = active & ~ts.terminated
+                return (state, total, active, key), None
+
+            (state, total, active, key), _ = jax.lax.scan(
+                body, (state, total, active, jax.random.PRNGKey(1)), None,
+                length=300,
+            )
+            return total
+
+        rand_total = np.asarray(random_run(jax.random.PRNGKey(0)))
+        assert res["Average score"] > 2.0 * rand_total.mean()
+        assert res["Highest tile"] >= 128
+
+    def test_cli_smoke(self, capsys):
+        expectimax.main(
+            ["--episodes", "4", "--depth", "1", "--move-cap", "60"]
+        )
+        import json
+
+        out = json.loads(capsys.readouterr().out)
+        assert out["episodes"] == 4 and "Average score" in out
