@@ -95,18 +95,27 @@ def spawn_children(board: jax.Array) -> tuple[jax.Array, jax.Array]:
     return children, probs.astype(jnp.float32)
 
 
-def action_values(board: jax.Array, depth: int) -> jax.Array:
+def action_values(
+    board: jax.Array,
+    depth: int,
+    leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
+) -> jax.Array:
     """Expectimax Q-values ``(4,)`` for one ``(4, 4)`` exponent board.
 
     Illegal actions get a large negative value; legal actions get
     ``W_GAIN * merge_score + E_spawn[state_value(child, depth - 1)]``.
     ``depth`` is static (Python recursion unrolled at trace time).
+    ``leaf_value`` maps a single board to a scalar value at the horizon —
+    the heuristic by default, or a learned critic (see
+    :func:`value_leaf_from_critic`).
     """
     moved, scores, legal = rules.move_all(board)
 
     def afterstate_value(after: jax.Array) -> jax.Array:
         children, probs = spawn_children(after)
-        vals = jax.vmap(lambda b: state_value(b, depth - 1))(children)
+        vals = jax.vmap(
+            lambda b: state_value(b, depth - 1, leaf_value)
+        )(children)
         return (vals * probs).sum()
 
     child_vals = jax.vmap(afterstate_value)(moved)
@@ -114,21 +123,45 @@ def action_values(board: jax.Array, depth: int) -> jax.Array:
     return jnp.where(legal, q, _NEG)
 
 
-def state_value(board: jax.Array, depth: int) -> jax.Array:
+def state_value(
+    board: jax.Array,
+    depth: int,
+    leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
+) -> jax.Array:
     """Expectimax value of a state; dead boards cost ``DEATH``."""
     if depth == 0:
-        return heuristic_value(board)
-    q = action_values(board, depth)
+        return leaf_value(board)
+    q = action_values(board, depth, leaf_value)
     dead = (q <= _NEG / 2).all()
-    return jnp.where(dead, heuristic_value(board) - DEATH, q.max())
+    return jnp.where(dead, leaf_value(board) - DEATH, q.max())
 
 
-def make_policy(depth: int) -> Callable[[jax.Array], jax.Array]:
+def value_leaf_from_critic(model, variables) -> Callable[[jax.Array], jax.Array]:
+    """Adapt a trained ActorCritic's value head into a ``leaf_value``.
+
+    Search-on-top-of-learning: expectimax backs up the critic's state value
+    instead of the hand-tuned heuristic, turning a trained PPO agent into a
+    stronger planning agent with no extra training.
+    """
+    from gym2048_tpu.models import boards_to_model_input
+
+    def leaf(board: jax.Array) -> jax.Array:
+        obs = boards_to_model_input(board[None])
+        _, value = model.apply(variables, obs, train=False)
+        return value[0]
+
+    return leaf
+
+
+def make_policy(
+    depth: int,
+    leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
+) -> Callable[[jax.Array], jax.Array]:
     """Batched greedy expectimax policy: boards ``(B, 4, 4)`` -> actions
     ``(B,)`` int32."""
 
     def policy(boards: jax.Array) -> jax.Array:
-        q = jax.vmap(lambda b: action_values(b, depth))(boards)
+        q = jax.vmap(lambda b: action_values(b, depth, leaf_value))(boards)
         return q.argmax(-1).astype(jnp.int32)
 
     return policy
@@ -139,6 +172,7 @@ def play_batched(
     depth: int = 2,
     key: jax.Array | None = None,
     move_cap: int = 20000,
+    leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
 ) -> dict:
     """Play ``episodes`` full games in lockstep with greedy expectimax.
 
@@ -149,7 +183,7 @@ def play_batched(
     if key is None:
         key = jax.random.PRNGKey(0)
     cfg = EnvConfig(auto_reset=False)
-    select = make_policy(depth)
+    select = make_policy(depth, leaf_value)
 
     @jax.jit
     def run(key):

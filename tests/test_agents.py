@@ -114,6 +114,32 @@ class TestPlay:
         assert res["Average score"] > 2.0 * rand_total.mean()
         assert res["Highest tile"] >= 128
 
+    def test_critic_leaf_composes(self):
+        # Search over a learned value leaf: the policy must still only pick
+        # legal actions, whatever the (untrained) critic says.
+        from gym2048_tpu.models import ActorCritic
+
+        model = ActorCritic(filters=8, residual_blocks=1)
+        boards = jnp.array(
+            [
+                [[1, 2, 1, 2], [2, 1, 2, 1], [1, 2, 1, 2], [2, 1, 2, 0]],
+                [[1, 1, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 2]],
+            ],
+            jnp.int8,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jax.nn.one_hot(boards.astype(jnp.int32), 16), train=False,
+        )
+        leaf = expectimax.value_leaf_from_critic(model, variables)
+        policy = expectimax.make_policy(depth=1, leaf_value=leaf)
+        actions = np.asarray(policy(boards))
+        legal = np.asarray(
+            jax.vmap(lambda b: rules.move_all(b)[2])(boards)
+        )
+        for i in range(2):
+            assert legal[i, actions[i]]
+
     def test_cli_smoke(self, capsys):
         expectimax.main(
             ["--episodes", "4", "--depth", "1", "--move-cap", "60"]
