@@ -5,3 +5,4 @@ from gym2048_tpu.models.resnet import (  # noqa: F401
     boards_to_model_input,
     build_model,
 )
+from gym2048_tpu.models import ntuple  # noqa: F401

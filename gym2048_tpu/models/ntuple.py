@@ -1,0 +1,120 @@
+"""N-tuple network value function for 2048 (TPU-native).
+
+A second model family beyond the reference's residual CNN (the reference,
+rgal/gym-2048, has only the CNN policy — model.py:28-103). N-tuple networks
+are the classical state of the art for 2048 value learning (Szubert &
+Jaskowski 2014): the value of a board is a sum of lookup-table entries, one
+per tuple of cells, with all 8 board symmetries sharing the same tables.
+
+TPU-first realisation: the 17 four-cell tuples (4 rows + 4 columns + 9 2x2
+squares) over 16 exponent values give 17 x 16^4 = 1.1M f32 weights (4.5 MB
+— VMEM-resident); a value lookup is one gather of 8 syms x 17 tuples = 136
+indices per board, and a TD update is one scatter-add of the same indices —
+both batched over thousands of boards in a single XLA op, no host loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+N_VALS = 16  # exponents 0..15 (tile 2^15 = 32768)
+TUPLE_LEN = 4
+TABLE_SIZE = N_VALS**TUPLE_LEN  # 65536
+
+
+def _build_tuples() -> np.ndarray:
+    """17 four-cell tuples: 4 rows, 4 columns, 9 2x2 squares."""
+    tuples = []
+    for i in range(4):
+        tuples.append([4 * i + j for j in range(4)])  # row i
+    for j in range(4):
+        tuples.append([4 * i + j for i in range(4)])  # col j
+    for i in range(3):
+        for j in range(3):
+            tuples.append(
+                [4 * i + j, 4 * i + j + 1, 4 * (i + 1) + j,
+                 4 * (i + 1) + j + 1]
+            )
+    return np.asarray(tuples, np.int32)  # (17, 4)
+
+
+def _build_symmetries() -> np.ndarray:
+    """The 8 symmetries of the 4x4 board as flat-position permutations.
+
+    ``SYMS[s, p]`` = source position that lands at ``p`` under symmetry
+    ``s``, so ``flat[SYMS[s]]`` is the transformed board (same group the
+    reference exploits for data augmentation, training_data.py:257-299).
+    """
+    base = np.arange(16).reshape(4, 4)
+    syms = []
+    m = base
+    for _ in range(4):
+        syms.append(m.reshape(-1))
+        syms.append(np.fliplr(m).reshape(-1))
+        m = np.rot90(m)
+    return np.asarray(syms, np.int32)  # (8, 16)
+
+
+TUPLES = _build_tuples()
+SYMS = _build_symmetries()
+N_TUPLES = len(TUPLES)  # 17
+# CELLS[s, m, k]: board cell feeding slot k of tuple m under symmetry s
+CELLS = SYMS[:, TUPLES]  # (8, 17, 4)
+_POW = N_VALS ** np.arange(TUPLE_LEN)  # (4,)
+# flat-table offset of each tuple's sub-table
+_OFFSET = (np.arange(N_TUPLES) * TABLE_SIZE)[None, :]  # (1, 17)
+
+_CELLS_J = jnp.asarray(CELLS)
+_POW_J = jnp.asarray(_POW, jnp.int32)
+_OFFSET_J = jnp.asarray(_OFFSET, jnp.int32)
+
+N_FEATURES = 8 * N_TUPLES  # gathers per board
+
+
+def init_table(value: float = 0.0) -> jax.Array:
+    """Flat weight table ``(17 * 65536,)`` f32.
+
+    A small optimistic initial value encourages early exploration
+    (Szubert & Jaskowski initialise optimistically); 0.0 is neutral.
+    """
+    return jnp.full((N_TUPLES * TABLE_SIZE,), value, jnp.float32)
+
+
+def feature_indices(board: jax.Array) -> jax.Array:
+    """Flat table indices ``(136,)`` for one ``(4, 4)`` exponent board."""
+    flat = board.reshape(16).astype(jnp.int32)
+    exps = jnp.clip(flat, 0, N_VALS - 1)
+    vals = exps[_CELLS_J]  # (8, 17, 4)
+    idx = (vals * _POW_J).sum(-1)  # (8, 17)
+    return (idx + _OFFSET_J).reshape(-1)  # (136,)
+
+
+def value(table: jax.Array, board: jax.Array) -> jax.Array:
+    """Value of one board: mean over the 8 symmetries of the tuple sums."""
+    return table[feature_indices(board)].sum() / 8.0
+
+
+def value_batch(table: jax.Array, boards: jax.Array) -> jax.Array:
+    """Values of ``(B, 4, 4)`` boards — one batched gather."""
+    return jax.vmap(lambda b: value(table, b))(boards)
+
+
+def td_update(
+    table: jax.Array, boards: jax.Array, deltas: jax.Array, alpha: float
+) -> jax.Array:
+    """Scatter-add TD errors for a batch of afterstates.
+
+    Each of a board's 136 features receives ``alpha * delta * 8 / 136``,
+    sized so that one update moves ``value(board)`` by ``alpha * delta``
+    when the board's features are distinct (repeated features — e.g. several
+    all-empty lines hitting the same sub-table entry — accelerate it, as in
+    classical shared-weight n-tuple implementations). Duplicate indices
+    across the batch accumulate — one XLA scatter-add, no host loop.
+    """
+    idx = jax.vmap(feature_indices)(boards)  # (B, 136)
+    upd = jnp.broadcast_to(
+        (alpha * 8.0 / N_FEATURES) * deltas[:, None], idx.shape
+    )
+    return table.at[idx.reshape(-1)].add(upd.reshape(-1).astype(table.dtype))

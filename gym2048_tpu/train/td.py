@@ -1,0 +1,326 @@
+"""TD(0) afterstate learning with an n-tuple network (TPU-native).
+
+The classical strongest 2048 learner (Szubert & Jaskowski 2014): learn a
+value function V over *afterstates* (board after the slide/merge, before
+the random spawn) by one-step temporal differences:
+
+    a*   = argmax_a [ r(s, a) + V(after(s, a)) ]
+    TD:    V(after(s, a*)) += alpha * (r' + V(after(s'', a*')) - V(after))
+
+where s'' is the post-spawn next state and a*' its greedy move. The
+reference framework has nothing comparable (its only learners are BC and
+PPO on a CNN policy); this is a beyond-reference model family.
+
+TPU realisation: thousands of games advance in lockstep inside one jitted
+``lax.scan`` — greedy move selection via the branch-free ``rules.move_all``,
+value lookups as batched gathers into the 4.5 MB table, the TD step as one
+batched scatter-add, spawns and resets from on-device RNG. There is no
+gradient tape: the "optimiser" IS the scatter-add.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym2048_tpu.core import rules
+from gym2048_tpu.models import ntuple
+
+
+@dataclasses.dataclass(frozen=True)
+class TDConfig:
+    total_steps: int = 200_000_000  # env steps (board-moves) to train for
+    n_envs: int = 4096
+    alpha: float = 0.1          # value-space learning rate (see td_update)
+    alpha_final: float = 0.02   # linear anneal target over total_steps
+    init_value: float = 80_000.0  # optimistic init (encourages exploration)
+    seed: int = 0
+    chunk_steps: int = 256      # scan length per jitted chunk
+
+
+def _fresh_boards(key: jax.Array, n: int) -> jax.Array:
+    """n fresh boards: two spawns on an empty board (game2048_env.py:102-111
+    semantics, device RNG)."""
+    ks = jax.random.split(key, 4)
+    boards = jnp.zeros((n, 4, 4), jnp.int8)
+    for kv, kp in ((ks[0], ks[1]), (ks[2], ks[3])):
+        boards = jax.vmap(rules.spawn)(
+            boards,
+            jax.random.uniform(kv, (n,)),
+            jax.random.uniform(kp, (n,)),
+        )
+    return boards
+
+
+def _greedy(table: jax.Array, board: jax.Array):
+    """Greedy afterstate move for one board.
+
+    Returns ``(action, afterstate, reward, v_after, any_legal)``.
+    """
+    moved, scores, legal = rules.move_all(board)
+    vals = jax.vmap(lambda b: ntuple.value(table, b))(moved)
+    q = jnp.where(legal, scores.astype(jnp.float32) + vals, -jnp.inf)
+    a = q.argmax()
+    return (
+        a.astype(jnp.int32),
+        moved[a],
+        scores[a].astype(jnp.float32),
+        vals[a],
+        legal.any(),
+    )
+
+
+@dataclasses.dataclass
+class TDLogEntry:
+    steps: int
+    episodes: float
+    ep_score_mean: float
+    highest_tile_max: int
+    alpha: float
+    wall: float
+
+
+class TDTrainer:
+    """Batched TD(0) afterstate trainer. ``learn()`` drives jitted chunks."""
+
+    def __init__(self, config: TDConfig | None = None):
+        self.cfg = config or TDConfig()
+
+    def init_state(self, key: jax.Array | None = None):
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        key, k0 = jax.random.split(key)
+        # per-entry x gives value(board) = 136x/8 = 17x ~= init_value
+        table = ntuple.init_table(cfg.init_value / ntuple.N_TUPLES)
+        boards = _fresh_boards(k0, cfg.n_envs)
+        return {
+            "table": table,
+            "boards": boards,
+            "score": jnp.zeros(cfg.n_envs, jnp.float32),
+            "key": key,
+        }
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_chunk(self, state: dict, alpha: jax.Array):
+        """``cfg.chunk_steps`` TD steps over all envs, one device program."""
+        cfg = self.cfg
+
+        def body(carry, _):
+            table, boards, score, key = carry
+            key, kv, kp, kr = jax.random.split(key, 4)
+
+            a, after, r, v_after, alive = jax.vmap(
+                lambda b: _greedy(table, b)
+            )(boards)
+
+            next_state = jax.vmap(rules.spawn)(
+                after,
+                jax.random.uniform(kv, (cfg.n_envs,)),
+                jax.random.uniform(kp, (cfg.n_envs,)),
+            )
+            _, after2, r2, v2, alive2 = jax.vmap(
+                lambda b: _greedy(table, b)
+            )(next_state)
+
+            target = jnp.where(alive2, r2 + v2, 0.0)
+            delta = jnp.where(alive, target - v_after, 0.0)
+            table = ntuple.td_update(table, after, delta, alpha)
+
+            # episode bookkeeping: a board resets when it has no legal move
+            # (alive=False) or its successor is dead (alive2=False ends the
+            # episode on the NEXT iteration's alive=False — only reset on
+            # alive=False so final scores are complete).
+            score = score + jnp.where(alive, r, 0.0)
+            done = ~alive
+            n_done = done.sum().astype(jnp.float32)
+            done_score = jnp.where(done, score, 0.0).sum()
+            highest = boards.max()
+
+            fresh = _fresh_boards(kr, cfg.n_envs)
+            boards = jnp.where(done[:, None, None], fresh, next_state)
+            score = jnp.where(done, 0.0, score)
+
+            stats = (n_done, done_score, highest)
+            return (table, boards, score, key), stats
+
+        (table, boards, score, key), (n_done, done_score, highest) = (
+            jax.lax.scan(
+                body,
+                (state["table"], state["boards"], state["score"],
+                 state["key"]),
+                None,
+                length=cfg.chunk_steps,
+            )
+        )
+        new_state = {
+            "table": table, "boards": boards, "score": score, "key": key,
+        }
+        metrics = {
+            "episodes": n_done.sum(),
+            "ep_score_mean": done_score.sum()
+            / jnp.maximum(n_done.sum(), 1.0),
+            "highest_exp": highest.max().astype(jnp.int32),
+        }
+        return new_state, metrics
+
+    def learn(self, state=None, log_every: int = 50, log_fn=print):
+        cfg = self.cfg
+        if state is None:
+            state = self.init_state()
+        steps_per_chunk = cfg.n_envs * cfg.chunk_steps
+        n_chunks = max(1, cfg.total_steps // steps_per_chunk)
+        t0 = time.time()
+        history = []
+        for c in range(n_chunks):
+            frac = c / max(n_chunks - 1, 1)
+            alpha = cfg.alpha + (cfg.alpha_final - cfg.alpha) * frac
+            state, metrics = self.train_chunk(state, jnp.float32(alpha))
+            if (c + 1) % log_every == 0 or c + 1 == n_chunks:
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                entry = TDLogEntry(
+                    steps=(c + 1) * steps_per_chunk,
+                    episodes=m["episodes"],
+                    ep_score_mean=m["ep_score_mean"],
+                    highest_tile_max=int(2 ** m["highest_exp"]),
+                    alpha=alpha,
+                    wall=time.time() - t0,
+                )
+                history.append(entry)
+                if log_fn is not None:
+                    log_fn(
+                        f"steps {entry.steps} ep_score "
+                        f"{entry.ep_score_mean:.0f} highest "
+                        f"{entry.highest_tile_max} alpha {alpha:.3f} "
+                        f"({entry.steps / entry.wall / 1e3:.0f}k steps/s)"
+                    )
+        return state, history
+
+
+def play_greedy(
+    table: jax.Array,
+    episodes: int,
+    key: jax.Array | None = None,
+    move_cap: int = 30000,
+) -> dict:
+    """Play full games with the greedy afterstate policy (evaluation)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(key):
+        key, k0 = jax.random.split(key)
+        boards = _fresh_boards(k0, episodes)
+        total = jnp.zeros(episodes, jnp.float32)
+        moves = jnp.zeros(episodes, jnp.int32)
+        high = jnp.zeros(episodes, jnp.int32)
+        active = jnp.ones(episodes, bool)
+
+        def cond(c):
+            return c[4].any() & (c[5] < move_cap)
+
+        def body(c):
+            boards, total, moves, high, active, t, key = c
+            key, kv, kp = jax.random.split(key, 3)
+            a, after, r, v, alive = jax.vmap(
+                lambda b: _greedy(table, b)
+            )(boards)
+            nxt = jax.vmap(rules.spawn)(
+                after,
+                jax.random.uniform(kv, (episodes,)),
+                jax.random.uniform(kp, (episodes,)),
+            )
+            step_live = active & alive
+            total += jnp.where(step_live, r, 0.0)
+            moves += step_live.astype(jnp.int32)
+            high = jnp.maximum(
+                high, jnp.where(step_live, nxt.max((-1, -2)), 0).astype(
+                    jnp.int32
+                )
+            )
+            boards = jnp.where(step_live[:, None, None], nxt, boards)
+            active = step_live
+            return boards, total, moves, high, active, t + 1, key
+
+        c = (boards, total, moves, high, active, jnp.int32(0), key)
+        c = jax.lax.while_loop(cond, body, c)
+        return c[1], c[2], c[3]
+
+    total, moves, high = map(np.asarray, run(key))
+    return {
+        "Average score": float(total.mean()),
+        "Max score": float(total.max()),
+        "Highest tile": int(2 ** high.max()) if high.max() > 0 else 0,
+        "Episodes": [
+            {
+                "total_reward": float(total[i]),
+                "highest": int(2 ** high[i]) if high[i] > 0 else 0,
+                "moves": int(moves[i]),
+            }
+            for i in range(episodes)
+        ],
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+    import collections
+    import json
+
+    from gym2048_tpu.utils.checkpoint import load_model, save_model
+
+    p = argparse.ArgumentParser(
+        description="TD(0) afterstate training of an n-tuple network."
+    )
+    p.add_argument("--steps", type=int, default=TDConfig.total_steps)
+    p.add_argument("--envs", type=int, default=TDConfig.n_envs)
+    p.add_argument("--alpha", type=float, default=TDConfig.alpha)
+    p.add_argument("--alpha-final", type=float, default=TDConfig.alpha_final)
+    p.add_argument("--init-value", type=float, default=TDConfig.init_value)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-episodes", type=int, default=128)
+    p.add_argument("--output", default="ntuple_table.pkl")
+    p.add_argument("--resume", default=None, help="table .pkl to continue")
+    args = p.parse_args(argv)
+
+    cfg = TDConfig(
+        total_steps=args.steps, n_envs=args.envs, alpha=args.alpha,
+        alpha_final=args.alpha_final, init_value=args.init_value,
+        seed=args.seed,
+    )
+    trainer = TDTrainer(cfg)
+    state = trainer.init_state()
+    if args.resume:
+        blob = load_model(args.resume)
+        state["table"] = jnp.asarray(blob["variables"]["table"])
+    state, history = trainer.learn(state)
+    save_model(
+        args.output, {"table": np.asarray(state["table"])},
+        meta={"config": dataclasses.asdict(cfg)},
+    )
+
+    ev = play_greedy(
+        state["table"], args.eval_episodes, jax.random.PRNGKey(args.seed + 1)
+    )
+    dist = collections.Counter(e["highest"] for e in ev["Episodes"])
+    print(
+        json.dumps(
+            {
+                "steps": args.steps,
+                "Average score": ev["Average score"],
+                "Max score": ev["Max score"],
+                "Highest tile": ev["Highest tile"],
+                "tile_distribution": dict(sorted(dist.items())),
+                "output": args.output,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
