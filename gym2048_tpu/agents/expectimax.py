@@ -113,9 +113,14 @@ def action_values(
 
     def afterstate_value(after: jax.Array) -> jax.Array:
         children, probs = spawn_children(after)
-        vals = jax.vmap(
-            lambda b: state_value(b, depth - 1, leaf_value)
-        )(children)
+        child_value = lambda b: state_value(b, depth - 1, leaf_value)
+        if depth >= 3:
+            # deep subtrees (>=65k leaves per child): evaluate the 32 spawn
+            # children sequentially so the tree never materialises whole —
+            # batch-level parallelism still saturates the chip
+            vals = jax.lax.map(child_value, children)
+        else:
+            vals = jax.vmap(child_value)(children)
         return (vals * probs).sum()
 
     child_vals = jax.vmap(afterstate_value)(moved)
