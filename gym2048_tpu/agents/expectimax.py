@@ -99,6 +99,7 @@ def action_values(
     board: jax.Array,
     depth: int,
     leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
+    gain_weight: float = W_GAIN,
 ) -> jax.Array:
     """Expectimax Q-values ``(4,)`` for one ``(4, 4)`` exponent board.
 
@@ -113,7 +114,9 @@ def action_values(
 
     def afterstate_value(after: jax.Array) -> jax.Array:
         children, probs = spawn_children(after)
-        child_value = lambda b: state_value(b, depth - 1, leaf_value)
+        child_value = lambda b: state_value(
+            b, depth - 1, leaf_value, gain_weight
+        )
         if depth >= 3:
             # deep subtrees (>=65k leaves per child): evaluate the 32 spawn
             # children sequentially so the tree never materialises whole —
@@ -124,7 +127,7 @@ def action_values(
         return (vals * probs).sum()
 
     child_vals = jax.vmap(afterstate_value)(moved)
-    q = W_GAIN * scores.astype(jnp.float32) + child_vals
+    q = gain_weight * scores.astype(jnp.float32) + child_vals
     return jnp.where(legal, q, _NEG)
 
 
@@ -132,11 +135,12 @@ def state_value(
     board: jax.Array,
     depth: int,
     leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
+    gain_weight: float = W_GAIN,
 ) -> jax.Array:
     """Expectimax value of a state; dead boards cost ``DEATH``."""
     if depth == 0:
         return leaf_value(board)
-    q = action_values(board, depth, leaf_value)
+    q = action_values(board, depth, leaf_value, gain_weight)
     dead = (q <= _NEG / 2).all()
     return jnp.where(dead, leaf_value(board) - DEATH, q.max())
 
@@ -161,12 +165,20 @@ def value_leaf_from_critic(model, variables) -> Callable[[jax.Array], jax.Array]
 def make_policy(
     depth: int,
     leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
+    gain_weight: float = W_GAIN,
 ) -> Callable[[jax.Array], jax.Array]:
     """Batched greedy expectimax policy: boards ``(B, 4, 4)`` -> actions
-    ``(B,)`` int32."""
+    ``(B,)`` int32.
+
+    For a *learned* leaf in raw score units (an n-tuple table or a critic
+    trained on unscaled rewards) use ``gain_weight=1.0`` — the Bellman
+    backup ``r + V`` — instead of the heuristic's hand-tuned exchange rate.
+    """
 
     def policy(boards: jax.Array) -> jax.Array:
-        q = jax.vmap(lambda b: action_values(b, depth, leaf_value))(boards)
+        q = jax.vmap(
+            lambda b: action_values(b, depth, leaf_value, gain_weight)
+        )(boards)
         return q.argmax(-1).astype(jnp.int32)
 
     return policy
@@ -178,6 +190,7 @@ def play_batched(
     key: jax.Array | None = None,
     move_cap: int = 20000,
     leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
+    gain_weight: float = W_GAIN,
 ) -> dict:
     """Play ``episodes`` full games in lockstep with greedy expectimax.
 
@@ -188,7 +201,7 @@ def play_batched(
     if key is None:
         key = jax.random.PRNGKey(0)
     cfg = EnvConfig(auto_reset=False)
-    select = make_policy(depth, leaf_value)
+    select = make_policy(depth, leaf_value, gain_weight)
 
     @jax.jit
     def run(key):
