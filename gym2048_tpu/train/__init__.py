@@ -12,4 +12,9 @@ from gym2048_tpu.train.eval import (  # noqa: F401
     report_evaluation_results,
 )
 from gym2048_tpu.train.ppo import PPO, PPOConfig  # noqa: F401
-from gym2048_tpu.train.td import TDConfig, TDTrainer, play_greedy  # noqa: F401,E501
+from gym2048_tpu.train.td import (  # noqa: F401
+    TDConfig,
+    TDTrainer,
+    play_greedy,
+    shard_td_state,
+)

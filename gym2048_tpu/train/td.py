@@ -202,6 +202,28 @@ class TDTrainer:
         return state, history
 
 
+def shard_td_state(state: dict, mesh) -> dict:
+    """Place a TD training state on a ``(data, model)`` mesh.
+
+    Data parallelism for TD: the env batch (``boards``/``score``) shards
+    over ``data``; the 4.5 MB table and the key replicate. Inside the jitted
+    chunk XLA keeps the per-board work (greedy search, spawns) fully local
+    and resolves the scatter-add into the replicated table with one
+    all-gather of the (indices, updates) pairs per step — every device then
+    applies the full update, so replicas stay bit-identical without a
+    separate parameter reduction.
+    """
+    from gym2048_tpu.parallel import replicate, shard_batch
+
+    data, rep = shard_batch(mesh), replicate(mesh)
+    return {
+        "table": jax.device_put(state["table"], rep),
+        "boards": jax.device_put(state["boards"], data),
+        "score": jax.device_put(state["score"], data),
+        "key": jax.device_put(state["key"], rep),
+    }
+
+
 def play_greedy(
     table: jax.Array,
     episodes: int,

@@ -105,6 +105,51 @@ class TestTDTrainer:
         assert res["Average score"] > 2500.0
         assert res["Highest tile"] >= 256
 
+    def test_sharded_td_update_matches_single_device(self):
+        # The deterministic kernel — one scatter-add over a sharded batch
+        # into the replicated table — must match single-device results.
+        # (Whole chunks are NOT comparable across shardings: greedy argmax
+        # ties on a freshly-initialised table break on fp summation order
+        # and the sequential decisions then genuinely diverge.)
+        from gym2048_tpu.models import ntuple
+        from gym2048_tpu.parallel import make_mesh, replicate, shard_batch
+
+        key = jax.random.PRNGKey(3)
+        boards = jax.random.randint(key, (64, 4, 4), 0, 8, dtype=jnp.int8)
+        deltas = jax.random.normal(key, (64,))
+        table = ntuple.init_table(1.0)
+        ref = ntuple.td_update(table, boards, deltas, alpha=0.3)
+
+        mesh = make_mesh()
+        assert mesh.shape["data"] >= 2
+        upd = jax.jit(ntuple.td_update, static_argnums=3)
+        sh = upd(
+            jax.device_put(table, replicate(mesh)),
+            jax.device_put(boards, shard_batch(mesh)),
+            jax.device_put(deltas, shard_batch(mesh)),
+            0.3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(sh), rtol=1e-5, atol=1e-6
+        )
+
+    def test_sharded_chunk_runs(self):
+        # Data-parallel TD on the 8-virtual-device mesh: chunk executes,
+        # metrics are sane, table stays finite and replicated.
+        from gym2048_tpu.parallel import make_mesh
+
+        cfg = td.TDConfig(
+            total_steps=2048, n_envs=64, chunk_steps=8, init_value=100.0
+        )
+        tr = td.TDTrainer(cfg)
+        mesh = make_mesh()
+        state = td.shard_td_state(tr.init_state(jax.random.PRNGKey(3)), mesh)
+        out, metrics = tr.train_chunk(state, jnp.float32(0.1))
+        table = np.asarray(out["table"])
+        assert np.isfinite(table).all()
+        assert float(metrics["ep_score_mean"]) >= 0.0
+        assert int(metrics["highest_exp"]) >= 1
+
     def test_greedy_matches_rules(self):
         # the greedy move must always be legal on a live board
         table = ntuple.init_table(0.0)
