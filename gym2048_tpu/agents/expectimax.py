@@ -36,8 +36,11 @@ W_MONO = 1.4
 W_SMOOTH = 0.2
 W_MAX = 1.0
 W_CORNER = 2.0
-# Merge score earned along a branch, in log2 units comparable to the
-# heuristic's exponent units.
+# Exchange rate between merge score earned along a branch (RAW merged-tile
+# values from rules.move_all — merging two 1024s adds 2048, not ~11) and the
+# heuristic's exponent-unit terms. Hand-tuned jointly with the weights
+# above; at high tiles the score term dominates and the heuristic acts as
+# the tiebreaker. For leaves already in score units use gain_weight=1.0.
 W_GAIN = 0.35
 DEATH = 200.0
 _NEG = -1e9

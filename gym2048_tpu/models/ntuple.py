@@ -7,7 +7,7 @@ Jaskowski 2014): the value of a board is a sum of lookup-table entries, one
 per tuple of cells, with all 8 board symmetries sharing the same tables.
 
 TPU-first realisation: the 17 four-cell tuples (4 rows + 4 columns + 9 2x2
-squares) over 16 exponent values give 17 x 16^4 = 1.1M f32 weights (4.5 MB
+squares) over 17 exponent values give 17 x 17^4 = 1.42M f32 weights (5.7 MB
 — VMEM-resident); a value lookup is one gather of 8 syms x 17 tuples = 136
 indices per board, and a TD update is one scatter-add of the same indices —
 both batched over thousands of boards in a single XLA op, no host loop.
@@ -19,9 +19,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-N_VALS = 16  # exponents 0..15 (tile 2^15 = 32768)
+N_VALS = 17  # exponents 0..16 (the engine's full domain: tile 2^16 = 65536,
+# the score-assert bound in the reference, game2048_env.py:87)
 TUPLE_LEN = 4
-TABLE_SIZE = N_VALS**TUPLE_LEN  # 65536
+TABLE_SIZE = N_VALS**TUPLE_LEN  # 83521
 
 
 def _build_tuples() -> np.ndarray:
@@ -61,20 +62,22 @@ TUPLES = _build_tuples()
 SYMS = _build_symmetries()
 N_TUPLES = len(TUPLES)  # 17
 # CELLS[s, m, k]: board cell feeding slot k of tuple m under symmetry s
+# (kept as NUMPY constants: jnp indexing accepts them inside jit, and
+# module import must not touch a JAX backend — on this stack creating a
+# device array at import time would claim the remote TPU for every process
+# that merely imports the package)
 CELLS = SYMS[:, TUPLES]  # (8, 17, 4)
-_POW = N_VALS ** np.arange(TUPLE_LEN)  # (4,)
+_POW = np.asarray(N_VALS ** np.arange(TUPLE_LEN), np.int32)  # (4,)
 # flat-table offset of each tuple's sub-table
-_OFFSET = (np.arange(N_TUPLES) * TABLE_SIZE)[None, :]  # (1, 17)
-
-_CELLS_J = jnp.asarray(CELLS)
-_POW_J = jnp.asarray(_POW, jnp.int32)
-_OFFSET_J = jnp.asarray(_OFFSET, jnp.int32)
+_OFFSET = np.asarray(
+    (np.arange(N_TUPLES) * TABLE_SIZE)[None, :], np.int32
+)  # (1, 17)
 
 N_FEATURES = 8 * N_TUPLES  # gathers per board
 
 
 def init_table(value: float = 0.0) -> jax.Array:
-    """Flat weight table ``(17 * 65536,)`` f32.
+    """Flat weight table ``(17 * 83521,)`` f32.
 
     A small optimistic initial value encourages early exploration
     (Szubert & Jaskowski initialise optimistically); 0.0 is neutral.
@@ -86,9 +89,9 @@ def feature_indices(board: jax.Array) -> jax.Array:
     """Flat table indices ``(136,)`` for one ``(4, 4)`` exponent board."""
     flat = board.reshape(16).astype(jnp.int32)
     exps = jnp.clip(flat, 0, N_VALS - 1)
-    vals = exps[_CELLS_J]  # (8, 17, 4)
-    idx = (vals * _POW_J).sum(-1)  # (8, 17)
-    return (idx + _OFFSET_J).reshape(-1)  # (136,)
+    vals = exps[CELLS]  # (8, 17, 4)
+    idx = (vals * _POW).sum(-1)  # (8, 17)
+    return (idx + _OFFSET).reshape(-1)  # (136,)
 
 
 def value(table: jax.Array, board: jax.Array) -> jax.Array:

@@ -44,17 +44,11 @@ class TDConfig:
 
 
 def _fresh_boards(key: jax.Array, n: int) -> jax.Array:
-    """n fresh boards: two spawns on an empty board (game2048_env.py:102-111
-    semantics, device RNG)."""
-    ks = jax.random.split(key, 4)
-    boards = jnp.zeros((n, 4, 4), jnp.int8)
-    for kv, kp in ((ks[0], ks[1]), (ks[2], ks[3])):
-        boards = jax.vmap(rules.spawn)(
-            boards,
-            jax.random.uniform(kv, (n,)),
-            jax.random.uniform(kp, (n,)),
-        )
-    return boards
+    """n fresh boards — the batched env's own reset law (two spawns on an
+    empty board, game2048_env.py:102-111), so env and TD can never drift."""
+    from gym2048_tpu.env.batched import _fresh_boards as fresh
+
+    return fresh(jax.random.uniform(key, (n, 4)))
 
 
 def _greedy(table: jax.Array, board: jax.Array):
@@ -103,39 +97,48 @@ class TDTrainer:
             "table": table,
             "boards": boards,
             "score": jnp.zeros(cfg.n_envs, jnp.float32),
+            # delayed-update carry: previous step's chosen afterstate, its
+            # value at selection time, and whether it still awaits a target
+            # (a distinct buffer from `boards` — donation forbids aliases)
+            "prev_after": jnp.zeros_like(boards),
+            "prev_v": jnp.zeros(cfg.n_envs, jnp.float32),
+            "prev_valid": jnp.zeros(cfg.n_envs, bool),
             "key": key,
         }
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_chunk(self, state: dict, alpha: jax.Array):
-        """``cfg.chunk_steps`` TD steps over all envs, one device program."""
+        """``cfg.chunk_steps`` TD steps over all envs, one device program.
+
+        One greedy search per step: the TD target for step t-1's afterstate
+        is assembled from step t's greedy result (``r_t + V(after_t)``, or 0
+        if the state is terminal), so each board is searched exactly once
+        per move — a one-step-delayed update with ``prev_v`` one scatter-add
+        stale, the standard tradeoff in batched TD implementations.
+        """
         cfg = self.cfg
 
         def body(carry, _):
-            table, boards, score, key = carry
+            table, boards, score, prev_after, prev_v, prev_valid, key = carry
             key, kv, kp, kr = jax.random.split(key, 4)
 
             a, after, r, v_after, alive = jax.vmap(
                 lambda b: _greedy(table, b)
             )(boards)
 
+            # TD update for the PREVIOUS afterstate: its successor state is
+            # `boards`; target = r + V(after) if a move exists, else 0.
+            target = jnp.where(alive, r + v_after, 0.0)
+            delta = jnp.where(prev_valid, target - prev_v, 0.0)
+            table = ntuple.td_update(table, prev_after, delta, alpha)
+
             next_state = jax.vmap(rules.spawn)(
                 after,
                 jax.random.uniform(kv, (cfg.n_envs,)),
                 jax.random.uniform(kp, (cfg.n_envs,)),
             )
-            _, after2, r2, v2, alive2 = jax.vmap(
-                lambda b: _greedy(table, b)
-            )(next_state)
-
-            target = jnp.where(alive2, r2 + v2, 0.0)
-            delta = jnp.where(alive, target - v_after, 0.0)
-            table = ntuple.td_update(table, after, delta, alpha)
 
             # episode bookkeeping: a board resets when it has no legal move
-            # (alive=False) or its successor is dead (alive2=False ends the
-            # episode on the NEXT iteration's alive=False — only reset on
-            # alive=False so final scores are complete).
             score = score + jnp.where(alive, r, 0.0)
             done = ~alive
             n_done = done.sum().astype(jnp.float32)
@@ -147,19 +150,23 @@ class TDTrainer:
             score = jnp.where(done, 0.0, score)
 
             stats = (n_done, done_score, highest)
-            return (table, boards, score, key), stats
+            return (
+                table, boards, score, after, v_after, alive, key
+            ), stats
 
-        (table, boards, score, key), (n_done, done_score, highest) = (
-            jax.lax.scan(
-                body,
-                (state["table"], state["boards"], state["score"],
-                 state["key"]),
-                None,
-                length=cfg.chunk_steps,
-            )
+        carry = (
+            state["table"], state["boards"], state["score"],
+            state["prev_after"], state["prev_v"], state["prev_valid"],
+            state["key"],
         )
+        carry, (n_done, done_score, highest) = jax.lax.scan(
+            body, carry, None, length=cfg.chunk_steps
+        )
+        (table, boards, score, prev_after, prev_v, prev_valid, key) = carry
         new_state = {
-            "table": table, "boards": boards, "score": score, "key": key,
+            "table": table, "boards": boards, "score": score,
+            "prev_after": prev_after, "prev_v": prev_v,
+            "prev_valid": prev_valid, "key": key,
         }
         metrics = {
             "episodes": n_done.sum(),
@@ -216,11 +223,13 @@ def shard_td_state(state: dict, mesh) -> dict:
     from gym2048_tpu.parallel import replicate, shard_batch
 
     data, rep = shard_batch(mesh), replicate(mesh)
+    batch = state["boards"].shape[0]
     return {
-        "table": jax.device_put(state["table"], rep),
-        "boards": jax.device_put(state["boards"], data),
-        "score": jax.device_put(state["score"], data),
-        "key": jax.device_put(state["key"], rep),
+        k: jax.device_put(
+            v, data if hasattr(v, "shape") and v.ndim >= 1
+            and v.shape[0] == batch else rep
+        )
+        for k, v in state.items()
     }
 
 
@@ -318,8 +327,8 @@ def main(argv: list[str] | None = None) -> None:
     trainer = TDTrainer(cfg)
     state = trainer.init_state()
     if args.resume:
-        blob = load_model(args.resume)
-        state["table"] = jnp.asarray(blob["variables"]["table"])
+        variables, _meta = load_model(args.resume)
+        state["table"] = jnp.asarray(variables["table"])
     state, history = trainer.learn(state)
     save_model(
         args.output, {"table": np.asarray(state["table"])},
