@@ -107,17 +107,24 @@ def value_batch(table: jax.Array, boards: jax.Array) -> jax.Array:
 def td_update(
     table: jax.Array, boards: jax.Array, deltas: jax.Array, alpha: float
 ) -> jax.Array:
-    """Scatter-add TD errors for a batch of afterstates.
+    """Count-normalised scatter of TD errors for a batch of afterstates.
 
-    Each of a board's 136 features receives ``alpha * delta * 8 / 136``,
-    sized so that one update moves ``value(board)`` by ``alpha * delta``
-    when the board's features are distinct (repeated features — e.g. several
-    all-empty lines hitting the same sub-table entry — accelerate it, as in
-    classical shared-weight n-tuple implementations). Duplicate indices
-    across the batch accumulate — one XLA scatter-add, no host loop.
+    Each entry receives the MEAN of the per-occurrence updates
+    ``alpha * delta * 8 / 136`` that hit it, not their sum. This makes one
+    single-board update move ``value(board)`` by exactly ``alpha * delta``
+    even when features repeat (a board's 8 symmetries often map several
+    slots of one tuple to the same sub-table entry), and it keeps batched
+    training stable at any batch size: a plain sum lets the thousands of
+    freshly-reset boards in a batch pile onto the same common entries,
+    which multiplies the effective step far past 1 and diverges to NaN
+    (observed — the greedy policy then degenerates to "first legal move").
+    Two scatter-adds (update sums + occurrence counts), no host loop.
     """
-    idx = jax.vmap(feature_indices)(boards)  # (B, 136)
+    idx = jax.vmap(feature_indices)(boards).reshape(-1)  # (B * 136,)
     upd = jnp.broadcast_to(
-        (alpha * 8.0 / N_FEATURES) * deltas[:, None], idx.shape
-    )
-    return table.at[idx.reshape(-1)].add(upd.reshape(-1).astype(table.dtype))
+        (alpha * 8.0 / N_FEATURES) * deltas[:, None],
+        (deltas.shape[0], N_FEATURES),
+    ).reshape(-1)
+    sums = jnp.zeros_like(table).at[idx].add(upd.astype(table.dtype))
+    counts = jnp.zeros_like(table).at[idx].add(1.0)
+    return table + sums / jnp.maximum(counts, 1.0)
