@@ -46,6 +46,28 @@ DEATH = 200.0
 _NEG = -1e9
 
 
+def heuristic_dead_value(board: jax.Array) -> jax.Array:
+    """Dead-state value for the *heuristic* leaf: leaf minus a penalty.
+
+    DEATH is tuned for the heuristic's exponent units; it keeps an ordering
+    among dead boards (dying with a better position is less bad) while
+    making every death worse than any live continuation at this scale.
+    """
+    return heuristic_value(board) - DEATH
+
+
+def bellman_dead_value(board: jax.Array) -> jax.Array:
+    """Dead-state value for *score-unit* leaves: the Bellman terminal 0.
+
+    A leaf in raw score units (an n-tuple table or a critic trained on
+    unscaled rewards, values ~1e4-1e5) must NOT keep its leaf value at a
+    terminal board — no future reward is collectable there — and a fixed
+    penalty tuned for exponent units (DEATH=200) would barely register.
+    """
+    del board
+    return jnp.float32(0.0)
+
+
 def heuristic_value(board: jax.Array) -> jax.Array:
     """Heuristic value of a single ``(4, 4)`` exponent board (f32 scalar)."""
     e = board.astype(jnp.float32)
@@ -103,6 +125,7 @@ def action_values(
     depth: int,
     leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
     gain_weight: float = W_GAIN,
+    dead_value: Callable[[jax.Array], jax.Array] | None = None,
 ) -> jax.Array:
     """Expectimax Q-values ``(4,)`` for one ``(4, 4)`` exponent board.
 
@@ -111,14 +134,16 @@ def action_values(
     ``depth`` is static (Python recursion unrolled at trace time).
     ``leaf_value`` maps a single board to a scalar value at the horizon —
     the heuristic by default, or a learned critic (see
-    :func:`value_leaf_from_critic`).
+    :func:`value_leaf_from_critic`). ``dead_value`` maps a terminal board
+    to its value; defaults to :func:`heuristic_dead_value` — pass
+    :func:`bellman_dead_value` with score-unit leaves.
     """
     moved, scores, legal = rules.move_all(board)
 
     def afterstate_value(after: jax.Array) -> jax.Array:
         children, probs = spawn_children(after)
         child_value = lambda b: state_value(
-            b, depth - 1, leaf_value, gain_weight
+            b, depth - 1, leaf_value, gain_weight, dead_value
         )
         if depth >= 3:
             # deep subtrees (>=65k leaves per child): evaluate the 32 spawn
@@ -139,13 +164,17 @@ def state_value(
     depth: int,
     leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
     gain_weight: float = W_GAIN,
+    dead_value: Callable[[jax.Array], jax.Array] | None = None,
 ) -> jax.Array:
-    """Expectimax value of a state; dead boards cost ``DEATH``."""
+    """Expectimax value of a state; dead boards get ``dead_value(board)``
+    (default :func:`heuristic_dead_value`)."""
+    if dead_value is None:
+        dead_value = heuristic_dead_value
     if depth == 0:
         return leaf_value(board)
-    q = action_values(board, depth, leaf_value, gain_weight)
+    q = action_values(board, depth, leaf_value, gain_weight, dead_value)
     dead = (q <= _NEG / 2).all()
-    return jnp.where(dead, leaf_value(board) - DEATH, q.max())
+    return jnp.where(dead, dead_value(board), q.max())
 
 
 def value_leaf_from_critic(model, variables) -> Callable[[jax.Array], jax.Array]:
@@ -169,18 +198,25 @@ def make_policy(
     depth: int,
     leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
     gain_weight: float = W_GAIN,
+    dead_value: Callable[[jax.Array], jax.Array] | None = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Batched greedy expectimax policy: boards ``(B, 4, 4)`` -> actions
     ``(B,)`` int32.
 
     For a *learned* leaf in raw score units (an n-tuple table or a critic
     trained on unscaled rewards) use ``gain_weight=1.0`` — the Bellman
-    backup ``r + V`` — instead of the heuristic's hand-tuned exchange rate.
+    backup ``r + V`` — instead of the heuristic's hand-tuned exchange
+    rate, and ``dead_value=bellman_dead_value`` so terminal boards are
+    worth 0 rather than nearly their full leaf value (with values ~1e4-1e5
+    the heuristic's fixed DEATH=200 penalty barely registers and the
+    search would hardly avoid dying).
     """
 
     def policy(boards: jax.Array) -> jax.Array:
         q = jax.vmap(
-            lambda b: action_values(b, depth, leaf_value, gain_weight)
+            lambda b: action_values(
+                b, depth, leaf_value, gain_weight, dead_value
+            )
         )(boards)
         return q.argmax(-1).astype(jnp.int32)
 
@@ -194,6 +230,7 @@ def play_batched(
     move_cap: int = 20000,
     leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
     gain_weight: float = W_GAIN,
+    dead_value: Callable[[jax.Array], jax.Array] | None = None,
 ) -> dict:
     """Play ``episodes`` full games in lockstep with greedy expectimax.
 
@@ -204,7 +241,7 @@ def play_batched(
     if key is None:
         key = jax.random.PRNGKey(0)
     cfg = EnvConfig(auto_reset=False)
-    select = make_policy(depth, leaf_value, gain_weight)
+    select = make_policy(depth, leaf_value, gain_weight, dead_value)
 
     @jax.jit
     def run(key):

@@ -105,7 +105,11 @@ def value_batch(table: jax.Array, boards: jax.Array) -> jax.Array:
 
 
 def td_update(
-    table: jax.Array, boards: jax.Array, deltas: jax.Array, alpha: float
+    table: jax.Array,
+    boards: jax.Array,
+    deltas: jax.Array,
+    alpha: float,
+    valid: jax.Array | None = None,
 ) -> jax.Array:
     """Count-normalised scatter of TD errors for a batch of afterstates.
 
@@ -119,12 +123,24 @@ def td_update(
     which multiplies the effective step far past 1 and diverges to NaN
     (observed — the greedy policy then degenerates to "first legal move").
     Two scatter-adds (update sums + occurrence counts), no host loop.
+
+    ``valid`` (``(B,)`` bool, optional) excludes masked boards from BOTH
+    the sums and the counts: a just-reset env carries no learning signal,
+    and counting its features would dilute colliding entries' mean update
+    toward 0. Masked rows are redirected to an out-of-bounds sentinel
+    index, which scatter's default "drop" mode discards.
     """
+    n = deltas.shape[0]
     idx = jax.vmap(feature_indices)(boards).reshape(-1)  # (B * 136,)
     upd = jnp.broadcast_to(
         (alpha * 8.0 / N_FEATURES) * deltas[:, None],
-        (deltas.shape[0], N_FEATURES),
+        (n, N_FEATURES),
     ).reshape(-1)
-    sums = jnp.zeros_like(table).at[idx].add(upd.astype(table.dtype))
-    counts = jnp.zeros_like(table).at[idx].add(1.0)
+    if valid is not None:
+        keep = jnp.broadcast_to(valid[:, None], (n, N_FEATURES)).reshape(-1)
+        idx = jnp.where(keep, idx, table.shape[0])  # dropped by scatter
+    sums = jnp.zeros_like(table).at[idx].add(
+        upd.astype(table.dtype), mode="drop"
+    )
+    counts = jnp.zeros_like(table).at[idx].add(1.0, mode="drop")
     return table + sums / jnp.maximum(counts, 1.0)

@@ -13,7 +13,7 @@ PPO on a CNN policy); this is a beyond-reference model family.
 
 TPU realisation: thousands of games advance in lockstep inside one jitted
 ``lax.scan`` — greedy move selection via the branch-free ``rules.move_all``,
-value lookups as batched gathers into the 4.5 MB table, the TD step as one
+value lookups as batched gathers into the 5.7 MB table, the TD step as one
 batched scatter-add, spawns and resets from on-device RNG. There is no
 gradient tape: the "optimiser" IS the scatter-add.
 """
@@ -128,9 +128,14 @@ class TDTrainer:
 
             # TD update for the PREVIOUS afterstate: its successor state is
             # `boards`; target = r + V(after) if a move exists, else 0.
+            # prev_valid masks just-reset envs out of both the deltas and
+            # the occurrence counts (their zero-delta rows would otherwise
+            # dilute colliding entries' mean update toward 0).
             target = jnp.where(alive, r + v_after, 0.0)
-            delta = jnp.where(prev_valid, target - prev_v, 0.0)
-            table = ntuple.td_update(table, prev_after, delta, alpha)
+            delta = target - prev_v
+            table = ntuple.td_update(
+                table, prev_after, delta, alpha, valid=prev_valid
+            )
 
             next_state = jax.vmap(rules.spawn)(
                 after,
@@ -177,11 +182,21 @@ class TDTrainer:
         return new_state, metrics
 
     def learn(self, state=None, log_every: int = 50, log_fn=print):
+        """Run training; the step count is rounded UP to whole chunks
+        (``n_envs * chunk_steps``), so the actual steps trained — reported
+        in the log and in :class:`TDLogEntry` — can exceed
+        ``cfg.total_steps`` by up to one chunk."""
         cfg = self.cfg
         if state is None:
             state = self.init_state()
         steps_per_chunk = cfg.n_envs * cfg.chunk_steps
-        n_chunks = max(1, cfg.total_steps // steps_per_chunk)
+        n_chunks = -(-cfg.total_steps // steps_per_chunk)  # ceil
+        if log_fn is not None and n_chunks * steps_per_chunk != cfg.total_steps:
+            log_fn(
+                f"total_steps {cfg.total_steps} rounded up to "
+                f"{n_chunks * steps_per_chunk} "
+                f"({n_chunks} chunks of {steps_per_chunk})"
+            )
         t0 = time.time()
         history = []
         for c in range(n_chunks):
@@ -209,13 +224,22 @@ class TDTrainer:
         return state, history
 
 
+# state dict keys whose leading axis is the env batch (shard over `data`);
+# everything else — the table and the PRNG key — replicates. Selecting by
+# KEY, not by shape: with tiny n_envs a replicated leaf can coincidentally
+# match the batch size (e.g. the (2,) PRNG key at n_envs == 2).
+_BATCH_KEYS = frozenset(
+    {"boards", "score", "prev_after", "prev_v", "prev_valid"}
+)
+
+
 def shard_td_state(state: dict, mesh) -> dict:
     """Place a TD training state on a ``(data, model)`` mesh.
 
-    Data parallelism for TD: the env batch (``boards``/``score``) shards
-    over ``data``; the 4.5 MB table and the key replicate. Inside the jitted
-    chunk XLA keeps the per-board work (greedy search, spawns) fully local
-    and resolves the scatter-add into the replicated table with one
+    Data parallelism for TD: the env batch (``boards``/``score``/``prev_*``)
+    shards over ``data``; the 5.7 MB table and the key replicate. Inside the
+    jitted chunk XLA keeps the per-board work (greedy search, spawns) fully
+    local and resolves the scatter-add into the replicated table with one
     all-gather of the (indices, updates) pairs per step — every device then
     applies the full update, so replicas stay bit-identical without a
     separate parameter reduction.
@@ -223,12 +247,8 @@ def shard_td_state(state: dict, mesh) -> dict:
     from gym2048_tpu.parallel import replicate, shard_batch
 
     data, rep = shard_batch(mesh), replicate(mesh)
-    batch = state["boards"].shape[0]
     return {
-        k: jax.device_put(
-            v, data if hasattr(v, "shape") and v.ndim >= 1
-            and v.shape[0] == batch else rep
-        )
+        k: jax.device_put(v, data if k in _BATCH_KEYS else rep)
         for k, v in state.items()
     }
 
@@ -313,6 +333,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--alpha", type=float, default=TDConfig.alpha)
     p.add_argument("--alpha-final", type=float, default=TDConfig.alpha_final)
     p.add_argument("--init-value", type=float, default=TDConfig.init_value)
+    p.add_argument(
+        "--chunk-steps", type=int, default=TDConfig.chunk_steps,
+        help="scan length per jitted chunk; total steps round up to "
+        "whole chunks of envs*chunk_steps",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-episodes", type=int, default=128)
     p.add_argument("--output", default="ntuple_table.pkl")
@@ -322,7 +347,7 @@ def main(argv: list[str] | None = None) -> None:
     cfg = TDConfig(
         total_steps=args.steps, n_envs=args.envs, alpha=args.alpha,
         alpha_final=args.alpha_final, init_value=args.init_value,
-        seed=args.seed,
+        seed=args.seed, chunk_steps=args.chunk_steps,
     )
     trainer = TDTrainer(cfg)
     state = trainer.init_state()
@@ -342,7 +367,8 @@ def main(argv: list[str] | None = None) -> None:
     print(
         json.dumps(
             {
-                "steps": args.steps,
+                "steps": history[-1].steps if history else 0,
+                "requested_steps": args.steps,
                 "Average score": ev["Average score"],
                 "Max score": ev["Max score"],
                 "Highest tile": ev["Highest tile"],
