@@ -105,6 +105,8 @@ class TimeStep:
     illegal: jax.Array      # (B,) bool — info['illegal_move']
     highest: jax.Array      # (B,) int32 — info['highest'], tile value
     score: jax.Array        # (B,) float32 — game score including this step
+    steps: jax.Array        # (B,) int32 — episode length incl. this step
+    #                         (pre-reset) — SB3's ep_info 'l' equivalent
 
 
 def _fresh_boards(u: jax.Array) -> jax.Array:
@@ -221,6 +223,107 @@ def step_with_products(
         illegal=~legal,
         highest=highest_val,
         score=new_score,
+        steps=new_steps,
+    )
+    return new_state, ts
+
+
+@jax.jit
+def reset_parity(spawn_vals: jax.Array, spawn_ranks: jax.Array) -> EnvState:
+    """Parity-mode reset: build B boards from host-precomputed spawn draws.
+
+    The reference ``reset`` spawns two tiles (game2048_env.py:102-111), each
+    consuming one value draw and one 16-position shuffle; here those
+    decisions arrive as arrays — ``spawn_vals (B, 2)`` int exponents and
+    ``spawn_ranks (B, 2, 16)`` shuffle orders (see
+    :class:`gym2048_tpu.env.parity.ReferenceSpawnStream`) — and are applied
+    by ``rules.spawn_ranked`` inside jit, so the reference's NumPy PCG64
+    stream replays bit-exactly through the batched device env.
+    """
+    batch = spawn_vals.shape[0]
+    board = jnp.zeros((batch, 4, 4), rules.BOARD_DTYPE)
+    for i in range(2):
+        board = jax.vmap(rules.spawn_ranked)(
+            board, spawn_vals[:, i], spawn_ranks[:, i]
+        )
+    return EnvState(
+        board=board,
+        score=jnp.zeros(batch, jnp.float32),
+        done=jnp.zeros(batch, bool),
+        step_count=jnp.zeros(batch, jnp.int32),
+        key=jax.random.PRNGKey(0),  # unused: parity stepping consumes no RNG
+    )
+
+
+@partial(jax.jit, static_argnums=(4,))
+def step_parity(
+    state: EnvState,
+    action: jax.Array,
+    spawn_val: jax.Array,
+    spawn_rank: jax.Array,
+    config: EnvConfig = EnvConfig(auto_reset=False),
+) -> tuple[EnvState, TimeStep]:
+    """Parity-mode step: spawns come from host-precomputed reference draws.
+
+    Bit-exact batched replay of the reference transition
+    (game2048_env.py:76-100): the spawn decision for each board arrives as
+    ``spawn_val (B,)`` (tile exponent, 1 or 2) and ``spawn_rank (B, 16)``
+    (the order the reference's shuffled position list visits flat cells,
+    game2048_env.py:169-175) and is applied with ``rules.spawn_ranked``.
+    An illegal move consumes no draw — exactly as the reference consumes no
+    RNG on ``IllegalMove`` — because the spawn is simply not applied.
+
+    No auto-reset (``config.auto_reset`` is ignored): the reference stream
+    contains no mid-trajectory reset decisions, so replay always runs with
+    explicit resets via :func:`reset_parity`.
+    """
+    batch = state.board.shape[0]
+    moved, scores, changed = move_products(state)
+    sel = (jnp.arange(4)[None, :] == action[:, None])
+    board_after = jnp.where(
+        sel[:, :, None, None], moved, 0
+    ).sum(axis=1).astype(state.board.dtype)
+    move_score = jnp.where(sel, scores, 0).sum(axis=1)
+    legal = (changed & sel).any(axis=1)
+
+    spawned = jax.vmap(rules.spawn_ranked)(board_after, spawn_val, spawn_rank)
+    new_board = jnp.where(legal[:, None, None], spawned, state.board)
+
+    dead = jax.vmap(rules.is_dead)(new_board)
+    max_exp = jnp.max(new_board.astype(jnp.int32), axis=(1, 2))
+    win = (
+        (max_exp == config.max_tile_exp)
+        if config.max_tile_exp > 0
+        else jnp.zeros(batch, bool)
+    )
+    terminated = ~legal | dead | win
+
+    reward = jnp.where(
+        legal, move_score.astype(jnp.float32), config.illegal_move_reward
+    )
+    new_score = state.score + jnp.where(legal, move_score, 0).astype(
+        jnp.float32
+    )
+    highest_val = jnp.where(max_exp > 0, jnp.int32(1) << max_exp, 0)
+    new_steps = state.step_count + 1
+
+    new_state = EnvState(
+        board=new_board,
+        score=new_score,
+        done=terminated,
+        step_count=new_steps,
+        key=state.key,
+    )
+    ts = TimeStep(
+        board=new_board,
+        final_board=new_board,
+        reward=reward,
+        terminated=terminated,
+        truncated=jnp.zeros(batch, bool),
+        illegal=~legal,
+        highest=highest_val,
+        score=new_score,
+        steps=new_steps,
     )
     return new_state, ts
 

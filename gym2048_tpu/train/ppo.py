@@ -94,7 +94,9 @@ class PPOConfig:
 
     @property
     def n_updates(self) -> int:
-        return max(1, self.total_timesteps // self.rollout_size)
+        # ceil, like SB3's learn(): train until >= total_timesteps (a floor
+        # would silently train 4,997,120 of the default 5M steps).
+        return max(1, -(-self.total_timesteps // self.rollout_size))
 
 
 @struct.dataclass
@@ -117,6 +119,7 @@ class Transition:
     done: jax.Array     # (B,) bool
     score: jax.Array    # (B,) f32 — game score incl. this step (pre-reset)
     highest: jax.Array  # (B,) int32
+    ep_len: jax.Array   # (B,) int32 — episode length incl. this step
 
 
 class PPO:
@@ -213,6 +216,7 @@ class PPO:
                 done=ts.terminated,
                 score=ts.score,
                 highest=ts.highest,
+                ep_len=ts.steps,
             )
             return (env_state, key), tr
 
@@ -324,6 +328,17 @@ class PPO:
                         sl = jax.lax.dynamic_slice_in_dim(
                             x, mb_idx * rows, rows, axis=0
                         )
+                        # flatten ENV-major: flat index = env * rows + t.
+                        # env is the sharded axis; env-major keeps each
+                        # device's slice a contiguous block of the flat
+                        # minibatch, so the SPMD partitioner keeps the SGD
+                        # step sharded. A time-major reshape interleaves
+                        # the shards and forces XLA to ALL-GATHER the whole
+                        # minibatch to every device (then each computes the
+                        # full-batch loss redundantly) — measured as the
+                        # PPO anti-scaling in docs/SCALING.md, enforced
+                        # against by tests/test_parallel.py's HLO audit.
+                        sl = jnp.swapaxes(sl, 0, 1)
                         return sl.reshape((rows * cfg.n_envs,) + x.shape[2:])
 
                     return jax.tree.map(slice_rows, shuffled)
@@ -393,7 +408,12 @@ class PPO:
         metrics.update(
             n_episodes=n_episodes,
             ep_return_mean=(traj.score * done_f).sum() / safe,
-            ep_len_mean=cfg.rollout_size * jnp.ones(()) / safe,
+            # true per-episode lengths at done time (SB3's ep_info 'l'),
+            # not rollout_size/n_episodes — that proxy is biased whenever
+            # episodes span rollout boundaries
+            ep_len_mean=(
+                traj.ep_len.astype(jnp.float32) * done_f
+            ).sum() / safe,
             highest_tile_mean=(
                 traj.highest.astype(jnp.float32) * done_f
             ).sum() / safe,
