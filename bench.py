@@ -31,6 +31,15 @@ BATCH = 65536
 T_SMALL = 128
 T_LARGE = 1024
 TARGET = 1.0e8
+# Scaling-linearity guard: per-step time at T=128 vs T=1024. Genuine on-
+# device execution gives a ratio slightly >1 (fixed dispatch overhead is
+# amortised over more steps at large T; measured 1.2-1.4 on v5e over the
+# tunnel). If the backend returned futures without executing, or timing
+# captured only dispatch, the ratio collapses toward T_LARGE/T_SMALL (=8)
+# or below 1 — either way the numbers are bogus, so the bench FAILS
+# (nonzero exit) outside these bounds instead of recording garbage.
+RATIO_MIN = 0.8
+RATIO_MAX = 3.0
 
 
 def build_rollout(batch: int, length: int):
@@ -115,11 +124,12 @@ def bench_pallas() -> float:
     return PALLAS_BATCH * T_LARGE / best
 
 
-def main() -> None:
+def main() -> int:
     on_tpu = jax.devices()[0].platform != "cpu"
     xla_rate, ratio = bench_xla()
     pallas_rate = bench_pallas() if on_tpu else None
     headline = pallas_rate if pallas_rate else xla_rate
+    ratio_ok = RATIO_MIN <= ratio <= RATIO_MAX
     print(
         json.dumps(
             {
@@ -136,11 +146,21 @@ def main() -> None:
                     "xla_batch": BATCH,
                     "scan_len": T_LARGE,
                     "xla_scaling_check_ratio": round(ratio, 3),
+                    "scaling_check_ok": ratio_ok,
                     "device": str(jax.devices()[0]),
                 },
             }
         )
     )
+    if not ratio_ok:
+        print(
+            f"FAIL: scaling ratio {ratio:.3f} outside "
+            f"[{RATIO_MIN}, {RATIO_MAX}] — timing is not measuring real "
+            f"device execution",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
