@@ -18,7 +18,7 @@ import gymnasium as gym
 
 import gym2048_tpu.env  # noqa: F401 — registers the gym ids
 from gym2048_tpu.core import rules
-from gym2048_tpu.env import EnvConfig, adapter, batched
+from gym2048_tpu.env import EnvConfig, adapter, batched, parity
 from gym2048_tpu.ops import obs as obs_ops
 
 FIXTURES = json.loads(
@@ -45,6 +45,90 @@ class TestAdapterParity:
             np.testing.assert_array_equal(
                 env.get_board(), np.asarray(step["board"]), err_msg=f"{idx},{i}"
             )
+
+
+def _values_to_exp(values) -> np.ndarray:
+    v = np.asarray(values, np.float64)
+    out = np.zeros_like(v, np.int8)
+    nz = v > 0
+    out[nz] = np.round(np.log2(v[nz])).astype(np.int8)
+    return out
+
+
+class TestBatchedParityReplay:
+    """The 13 recorded reference trajectories replayed through the JITTED
+    BATCHED env (not the host adapter): spawn decisions come from the
+    reference's own PCG64 stream via env.parity + rules.spawn_ranked, all
+    boards advance in one lax.scan, every field is bit-exact per step.
+    (game2048_env.py:76-111, 166-176; SURVEY §7 step 2 parity RNG mode.)"""
+
+    @pytest.mark.parametrize(
+        "imr", sorted({t.get("illegal_move_reward", 0.0) or 0.0
+                       for t in FIXTURES["trajectories"]})
+    )
+    def test_trajectories_bit_exact_batched(self, imr):
+        trajs = [
+            t for t in FIXTURES["trajectories"]
+            if (t.get("illegal_move_reward", 0.0) or 0.0) == imr
+        ]
+        assert trajs
+        B = len(trajs)
+        T = max(len(t["steps"]) for t in trajs)
+        streams = [parity.ReferenceSpawnStream(t["seed"]) for t in trajs]
+
+        vals0, ranks0 = parity.reset_draws(streams)
+        state = batched.reset_parity(jnp.asarray(vals0), jnp.asarray(ranks0))
+        for b, t in enumerate(trajs):
+            np.testing.assert_array_equal(
+                np.asarray(state.board[b]), _values_to_exp(t["board0"]),
+                err_msg=f"reset {b}",
+            )
+
+        # host-precomputed decision arrays; an ILLEGAL step consumes no
+        # draw (the reference raises IllegalMove before add_tile), and
+        # padding past a trajectory's end gets dummy draws (never asserted)
+        actions = np.zeros((T, B), np.int32)
+        vals = np.ones((T, B), np.int8)
+        ranks = np.tile(np.arange(16, dtype=np.int32), (T, B, 1))
+        for b, t in enumerate(trajs):
+            for i, st in enumerate(t["steps"]):
+                actions[i, b] = st["action"]
+                if not st["illegal"]:
+                    vals[i, b], ranks[i, b] = streams[b].draw()
+
+        cfg = EnvConfig(illegal_move_reward=imr, auto_reset=False)
+
+        @jax.jit
+        def replay(state, actions, vals, ranks):
+            def body(state, x):
+                a, v, rk = x
+                state, ts = batched.step_parity(state, a, v, rk, cfg)
+                return state, (
+                    ts.board, ts.reward, ts.terminated, ts.illegal,
+                    ts.highest, ts.score,
+                )
+
+            return jax.lax.scan(body, state, (actions, vals, ranks))
+
+        _, (boards, rewards, terms, illegals, highs, scores) = jax.tree.map(
+            np.asarray,
+            replay(
+                state, jnp.asarray(actions), jnp.asarray(vals),
+                jnp.asarray(ranks),
+            ),
+        )
+
+        for b, t in enumerate(trajs):
+            for i, st in enumerate(t["steps"]):
+                where = f"traj seed {t['seed']} step {i}"
+                np.testing.assert_array_equal(
+                    boards[i, b], _values_to_exp(st["board"]), err_msg=where
+                )
+                assert rewards[i, b] == st["reward"], where
+                assert bool(terms[i, b]) == st["terminated"], where
+                assert bool(illegals[i, b]) == st["illegal"], where
+                assert int(highs[i, b]) == st["highest"], where
+                assert float(scores[i, b]) == st["score"], where
 
 
 class TestAdapterGymContract:
