@@ -104,6 +104,41 @@ class TestShardedPPO:
         s2, m2 = ppo2.train_iteration(s2)
         assert np.isfinite(float(m2["loss"]))
 
+    def test_sharded_shuffle_collective_audit(self, mesh):
+        """Enforce docs/MULTIHOST.md's communication claim in compiled HLO:
+        with shuffle_mode='sharded' the whole train_iteration contains ONLY
+        all-reduce collectives (gradient/metric psums over ICI) — no
+        all-gather, no all-to-all, no collective-permute, i.e. no tensor
+        data ever crosses devices. Guards against regressions like a
+        time-major minibatch flatten, which silently makes XLA all-gather
+        every minibatch and compute the SGD step fully replicated."""
+        import re
+
+        cfg = PPOConfig(
+            total_timesteps=1024,
+            n_envs=64,
+            n_steps=8,
+            batch_size=128,
+            n_epochs=1,
+            filters=8,
+            residual_blocks=1,
+            shuffle_mode="sharded",
+        )
+        ppo = PPO(cfg)
+        state = shard_train_state(ppo.init_state(jax.random.PRNGKey(0)), mesh)
+        txt = PPO.train_iteration.lower(ppo, state).compile().as_text()
+        counts = {
+            name: len(re.findall(r"\b" + name, txt))
+            for name in (
+                "all-reduce", "all-gather", "all-to-all",
+                "collective-permute", "reduce-scatter",
+            )
+        }
+        assert counts["all-reduce"] > 0, counts  # the gradient psum exists
+        assert counts["all-gather"] == 0, counts
+        assert counts["all-to-all"] == 0, counts
+        assert counts["collective-permute"] == 0, counts
+
     def test_graft_dryrun(self):
         import __graft_entry__ as ge
 
