@@ -124,10 +124,36 @@ def bench_pallas() -> float:
     return PALLAS_BATCH * T_LARGE / best
 
 
+def bench_td() -> float:
+    """Full-MXU TD n-tuple training throughput (env-steps/s, incl. the
+    greedy search, table update, spawns and resets)."""
+    import numpy as np
+
+    from gym2048_tpu.train import td
+
+    b, steps = 8192, 64
+    cfg = td.TDConfig(
+        total_steps=b * steps, n_envs=b, chunk_steps=steps,
+        update_impl="mxu", value_impl="mxu",
+    )
+    tr = td.TDTrainer(cfg)
+    state = tr.init_state()
+    state, m = tr.train_chunk(state, jnp.float32(0.1))
+    float(np.asarray(m["episodes"]))  # compile + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, m = tr.train_chunk(state, jnp.float32(0.1))
+        float(np.asarray(m["episodes"]))
+        best = min(best, time.perf_counter() - t0)
+    return b * steps / best
+
+
 def main() -> int:
     on_tpu = jax.devices()[0].platform != "cpu"
     xla_rate, ratio = bench_xla()
     pallas_rate = bench_pallas() if on_tpu else None
+    td_rate = bench_td() if on_tpu else None
     headline = pallas_rate if pallas_rate else xla_rate
     ratio_ok = RATIO_MIN <= ratio <= RATIO_MAX
     print(
@@ -145,6 +171,9 @@ def main() -> int:
                     "xla_steps_per_s": round(xla_rate),
                     "xla_batch": BATCH,
                     "scan_len": T_LARGE,
+                    "td_train_steps_per_s": (
+                        round(td_rate) if td_rate else None
+                    ),
                     "xla_scaling_check_ratio": round(ratio, 3),
                     "scaling_check_ok": ratio_ok,
                     "device": str(jax.devices()[0]),
