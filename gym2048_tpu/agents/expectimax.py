@@ -223,56 +223,117 @@ def make_policy(
     return policy
 
 
-def play_batched(
-    episodes: int,
+def make_afterstate_policy(
+    value_fn: Callable[[jax.Array], jax.Array],
     depth: int = 2,
+) -> Callable[[jax.Array], jax.Array]:
+    """Expectimax over an *afterstate* value function (Szubert & Jaskowski
+    2014's search formulation) — the right amplifier for the TD n-tuple
+    table, whose values are trained on afterstates.
+
+    ``value_fn`` maps ``(N, 4, 4)`` boards to ``(N,)`` values in score
+    units, evaluated at AFTERSTATES (post-move, pre-spawn) — e.g. the
+    batched n-tuple lookup (``ntuple.value_batch``/``value_batch_mxu``).
+    This fixes the state/afterstate mismatch that made depth-1 search over
+    the TD table WORSE than greedy play (docs/PERF.md: leaf evaluated
+    post-spawn states the table never saw), and it shrinks the tree 32x:
+    the last ply needs no spawn expansion because V is defined on the
+    afterstate itself.
+
+    depth=1: ``argmax_a [r + V(after(s, a))]`` — exactly the greedy TD
+    policy. depth=2: ``argmax_a [r1 + E_spawn[max_a' (r2 + V(after2))]]``
+    with Bellman terminal value 0 for dead spawn children. Leaf evals per
+    board per move: 4 (depth 1), 512 (depth 2) — all evaluated in ONE
+    ``value_fn`` call, so the MXU lookup path sees large contractions and
+    nothing generates the giant per-leaf gathers that crash the remote TPU
+    worker (CLAUDE.md gotcha).
+    """
+    assert depth in (1, 2), "afterstate search supports depth 1 or 2"
+
+    def policy(boards: jax.Array) -> jax.Array:
+        b = boards.shape[0]
+        moved1, scores1, legal1 = jax.vmap(rules.move_all)(boards)
+        if depth == 1:
+            v1 = value_fn(moved1.reshape(b * 4, 4, 4)).reshape(b, 4)
+            q1 = jnp.where(legal1, scores1.astype(jnp.float32) + v1, _NEG)
+            return q1.argmax(-1).astype(jnp.int32)
+
+        after1 = moved1.reshape(b * 4, 4, 4)
+        children, probs = jax.vmap(spawn_children)(after1)
+        ch = children.reshape(b * 4 * 32, 4, 4)
+        moved2, scores2, legal2 = jax.vmap(rules.move_all)(ch)
+        v2 = value_fn(moved2.reshape(-1, 4, 4)).reshape(b * 128, 4)
+        q2 = jnp.where(legal2, scores2.astype(jnp.float32) + v2, _NEG)
+        # state value of each spawn child: best Bellman backup, or the
+        # terminal value 0 when no move exists (score-unit leaf)
+        sv = jnp.where(legal2.any(-1), q2.max(-1), 0.0)
+        ev = (sv.reshape(b * 4, 32) * probs.reshape(b * 4, 32)).sum(-1)
+        q1 = jnp.where(
+            legal1, scores1.astype(jnp.float32) + ev.reshape(b, 4), _NEG
+        )
+        return q1.argmax(-1).astype(jnp.int32)
+
+    return policy
+
+
+def play_policy(
+    policy: Callable[[jax.Array], jax.Array],
+    episodes: int,
     key: jax.Array | None = None,
     move_cap: int = 20000,
-    leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
-    gain_weight: float = W_GAIN,
-    dead_value: Callable[[jax.Array], jax.Array] | None = None,
+    chunk_moves: int = 128,
 ) -> dict:
-    """Play ``episodes`` full games in lockstep with greedy expectimax.
+    """Play ``episodes`` full games in lockstep with an arbitrary batched
+    policy ``(B, 4, 4) boards -> (B,) actions``.
 
-    One jitted ``while_loop``; each iteration searches every live board to
-    ``depth`` and steps the batched env once. Returns the evaluation dict
-    shape of :func:`gym2048_tpu.train.eval.evaluate_batched`.
+    The game loop runs as HOST-CHUNKED jitted scans of ``chunk_moves``
+    steps each, not one device-resident ``while_loop`` over the whole
+    game: on the remote TPU stack a single XLA program that executes for
+    minutes reproducibly crashes the worker (the round-1 depth-3 /
+    table-leaf failure mode — CLAUDE.md gotcha), while bounded chunks with
+    one scalar host fetch between them are stable and cost only ~20 ms of
+    dispatch per chunk. Returns the evaluation dict shape of
+    :func:`gym2048_tpu.train.eval.evaluate_batched`.
     """
+    import numpy as np
+
     if key is None:
         key = jax.random.PRNGKey(0)
     cfg = EnvConfig(auto_reset=False)
-    select = make_policy(depth, leaf_value, gain_weight, dead_value)
+    select = policy
 
     @jax.jit
-    def run(key):
+    def init(key):
         state = batched.reset(key, episodes)
-        total = jnp.zeros(episodes, jnp.float32)
-        moves = jnp.zeros(episodes, jnp.int32)
-        high = jnp.zeros(episodes, jnp.int32)
-        active = jnp.ones(episodes, bool)
+        zeros_f = jnp.zeros(episodes, jnp.float32)
+        zeros_i = jnp.zeros(episodes, jnp.int32)
+        return (state, zeros_f, zeros_i, zeros_i,
+                jnp.ones(episodes, bool))
 
-        def cond(c):
-            _, _, _, _, active, t = c
-            return active.any() & (t < move_cap)
-
-        def body(c):
-            state, total, moves, high, active, t = c
+    @jax.jit
+    def run_chunk(carry):
+        def body(c, _):
+            state, total, moves, high, active = c
             action = select(state.board)
             state, ts = batched.step(state, action, cfg)
             total += jnp.where(active, ts.reward, 0.0)
             moves += active.astype(jnp.int32)
             high = jnp.where(active, ts.highest, high)
             active = active & ~ts.terminated
-            return (state, total, moves, high, active, t + 1)
+            return (state, total, moves, high, active), ()
 
-        state, total, moves, high, active, t = jax.lax.while_loop(
-            cond, body, (state, total, moves, high, active, jnp.int32(0))
-        )
-        return total, moves, high
+        carry, _ = jax.lax.scan(body, carry, None, length=chunk_moves)
+        return carry
 
-    import numpy as np
-
-    total, moves, high = map(np.asarray, run(key))
+    carry = init(key)
+    t = 0
+    while t < move_cap:
+        carry = run_chunk(carry)
+        t += chunk_moves
+        if not bool(np.asarray(carry[4]).any()):  # host sync per chunk
+            break
+    _, total, moves, high, _ = carry
+    total, moves, high = map(np.asarray, (total, moves, high))
     return {
         "Average score": float(total.mean()),
         "Max score": float(total.max()),
@@ -288,6 +349,23 @@ def play_batched(
     }
 
 
+def play_batched(
+    episodes: int,
+    depth: int = 2,
+    key: jax.Array | None = None,
+    move_cap: int = 20000,
+    leaf_value: Callable[[jax.Array], jax.Array] = heuristic_value,
+    gain_weight: float = W_GAIN,
+    dead_value: Callable[[jax.Array], jax.Array] | None = None,
+) -> dict:
+    """Play full games with greedy state-leaf expectimax (see
+    :func:`make_policy`); :func:`play_policy` does the driving."""
+    return play_policy(
+        make_policy(depth, leaf_value, gain_weight, dead_value),
+        episodes, key, move_cap,
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     import argparse
     import collections
@@ -300,12 +378,41 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--depth", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--move-cap", type=int, default=20000)
+    p.add_argument(
+        "--table", default=None,
+        help="trained n-tuple table .pkl: search over AFTERSTATE values "
+        "(make_afterstate_policy) instead of the heuristic leaf",
+    )
+    p.add_argument(
+        "--value-impl", choices=("auto", "gather", "mxu"), default="auto",
+    )
     args = p.parse_args(argv)
 
-    result = play_batched(
-        args.episodes, args.depth, jax.random.PRNGKey(args.seed),
-        args.move_cap,
-    )
+    if args.table:
+        import numpy as np
+
+        from gym2048_tpu.models import ntuple
+        from gym2048_tpu.utils.checkpoint import load_model
+
+        variables, _meta = load_model(args.table)
+        table = jnp.asarray(np.asarray(variables["table"]))
+        vimpl = args.value_impl
+        if vimpl == "auto":
+            vimpl = "mxu" if jax.default_backend() == "tpu" else "gather"
+        if vimpl == "mxu":
+            t_hi, t_lo = ntuple.split_table(table)
+            value_fn = lambda bs: ntuple.value_batch_mxu(t_hi, t_lo, bs)
+        else:
+            value_fn = lambda bs: ntuple.value_batch(table, bs)
+        result = play_policy(
+            make_afterstate_policy(value_fn, args.depth),
+            args.episodes, jax.random.PRNGKey(args.seed), args.move_cap,
+        )
+    else:
+        result = play_batched(
+            args.episodes, args.depth, jax.random.PRNGKey(args.seed),
+            args.move_cap,
+        )
     dist = collections.Counter(
         e["highest"] for e in result["Episodes"]
     )

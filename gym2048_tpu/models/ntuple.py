@@ -146,15 +146,16 @@ def value_batch_mxu(
     — exact enough that selection, TD targets and evaluation all share it.
     """
     n = boards.shape[0]
-    idx = jax.vmap(local_indices)(boards).reshape(n * 8, N_TUPLES)  # (M, 17)
-    m = idx.shape[0]
-    chunk = min(chunk, m)
-    pad = (-m) % chunk
+    cb = max(1, min(chunk // 8, n))  # boards per chunk (8 lookups each)
+    pad = (-n) % cb
+    flat = boards.reshape(n, 16)
     if pad:
-        idx = jnp.concatenate([idx, jnp.zeros((pad, N_TUPLES), idx.dtype)])
-    idx_c = idx.reshape(-1, chunk, N_TUPLES)
+        flat = jnp.concatenate([flat, jnp.zeros((pad, 16), flat.dtype)])
+    flat_c = flat.reshape(-1, cb, 16)
 
-    def body(_, ic):
+    def body(_, bc):
+        ic = local_indices_batch(bc.reshape(cb, 4, 4))  # (cb, 8, 17)
+        ic = ic.reshape(cb * 8, N_TUPLES)
         hi = ic // _LANES
         lo = ic % _LANES
         oh_hi = jax.nn.one_hot(hi, _HI, dtype=_mxu_dtype())  # (C, 17, _HI)
@@ -166,10 +167,11 @@ def value_batch_mxu(
             "cth,thl->ctl", oh_hi, t_lo,
             preferred_element_type=jnp.float32,
         )
-        return None, (rows * oh_lo).sum(-1).sum(-1)  # (C,)
+        v = (rows * oh_lo).sum(-1).sum(-1)  # (C,)
+        return None, v.reshape(cb, 8).sum(-1) / 8.0
 
-    _, vals = jax.lax.scan(body, None, idx_c)
-    return vals.reshape(-1)[: n * 8].reshape(n, 8).sum(-1) / 8.0
+    _, vals = jax.lax.scan(body, None, flat_c)
+    return vals.reshape(-1)[:n]
 
 
 def td_update(
@@ -228,6 +230,30 @@ def _mxu_dtype():
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
+# Gather-free feature extraction: vals[s, m, k] = flat_board[CELLS[s, m, k]]
+# as one constant (544, 16) 0/1 selection matmul. The natural exps[CELLS]
+# gather is what CRASHES the remote TPU worker at scale (a vmap over ~100k+
+# boards emits a 100M+-element gather op — CLAUDE.md gotcha); a dense
+# matmul with 16-wide contraction is also simply faster.
+_SEL = np.zeros((8 * N_TUPLES * TUPLE_LEN, 16), np.float32)
+_SEL[np.arange(_SEL.shape[0]), CELLS.reshape(-1)] = 1.0
+
+
+def local_indices_batch(boards: jax.Array) -> jax.Array:
+    """Per-tuple local indices ``(B, 8, 17)`` for a batch of boards,
+    computed without any gather (see ``_SEL``). Exact: cell exponents
+    (<= 16) and indices (< 83,521 < 2^24) are integers representable in
+    f32."""
+    n = boards.shape[0]
+    flat = jnp.clip(
+        boards.reshape(n, 16).astype(jnp.float32), 0, N_VALS - 1
+    )
+    vals = flat @ _SEL.T  # (B, 544)
+    vals = vals.reshape(n, 8, N_TUPLES, TUPLE_LEN)
+    idx = (vals * _POW.astype(np.float32)).sum(-1)  # exact in f32
+    return idx.astype(jnp.int32)
+
+
 def td_update_mxu(
     table: jax.Array,
     boards: jax.Array,
@@ -256,39 +282,39 @@ def td_update_mxu(
     stream through a ``lax.scan`` accumulating the 5.7 MB f32 result.
     """
     n = deltas.shape[0]
-    idx = jax.vmap(local_indices)(boards).reshape(n * 8, N_TUPLES)  # (M, 17)
-    w = jnp.broadcast_to(
-        ((alpha * 8.0 / N_FEATURES) * deltas)[:, None], (n, 8)
-    ).reshape(-1)
+    w1 = (alpha * 8.0 / N_FEATURES) * deltas  # (B,) per-board weight
     if valid is not None:
-        keep = jnp.broadcast_to(valid[:, None], (n, 8)).reshape(-1)
-        cw = keep.astype(jnp.float32)
-        w = w * cw
+        c1 = valid.astype(jnp.float32)
+        w1 = w1 * c1
     else:
-        cw = jnp.ones_like(w)
+        c1 = jnp.ones_like(w1)
 
-    m = idx.shape[0]
-    chunk = min(chunk, m)
-    if m % chunk:  # pad with masked-out rows
-        pad = chunk - m % chunk
-        idx = jnp.concatenate([idx, jnp.zeros((pad, N_TUPLES), idx.dtype)])
-        w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
-        cw = jnp.concatenate([cw, jnp.zeros(pad, cw.dtype)])
-        m += pad
-    n_chunks = m // chunk
-    idx_c = idx.reshape(n_chunks, chunk, N_TUPLES)
-    w_c = w.reshape(n_chunks, chunk)
-    cw_c = cw.reshape(n_chunks, chunk)
+    # chunk BOARDS (not flattened lookups): indices, one-hots and every
+    # other large intermediate only ever exist at chunk scale
+    cb = max(1, min(chunk // 8, n))
+    pad = (-n) % cb
+    flat = boards.reshape(n, 16)
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad, 16), flat.dtype)])
+        w1 = jnp.concatenate([w1, jnp.zeros(pad, w1.dtype)])
+        c1 = jnp.concatenate([c1, jnp.zeros(pad, c1.dtype)])
+    flat_c = flat.reshape(-1, cb, 16)
+    w_c = w1.reshape(-1, cb)
+    c_c = c1.reshape(-1, cb)
 
     def body(acc, args):
-        ic, wc, cc = args
+        bc, wc, cc = args
+        ic = local_indices_batch(bc.reshape(cb, 4, 4))  # (cb, 8, 17)
+        ic = ic.reshape(cb * 8, N_TUPLES)
+        wl_w = jnp.broadcast_to(wc[:, None], (cb, 8)).reshape(-1)
+        cl_w = jnp.broadcast_to(cc[:, None], (cb, 8)).reshape(-1)
         hi = ic // _LANES  # (C, 17)
         lo = ic % _LANES
         dt = _mxu_dtype()
         oh_hi = jax.nn.one_hot(hi, _HI, dtype=dt)  # (C, 17, _HI)
         oh_lo = jax.nn.one_hot(lo, _LANES, dtype=dt)
-        wl = oh_lo * wc[:, None, None].astype(dt)
-        cl = oh_lo * cc[:, None, None].astype(dt)
+        wl = oh_lo * wl_w[:, None, None].astype(dt)
+        cl = oh_lo * cl_w[:, None, None].astype(dt)
         sums = jnp.einsum(
             "cth,ctl->thl", oh_hi, wl, preferred_element_type=jnp.float32
         )
@@ -298,7 +324,7 @@ def td_update_mxu(
         return (acc[0] + sums, acc[1] + cnts), None
 
     zero = jnp.zeros((N_TUPLES, _HI, _LANES), jnp.float32)
-    (sums, cnts), _ = jax.lax.scan(body, (zero, zero), (idx_c, w_c, cw_c))
+    (sums, cnts), _ = jax.lax.scan(body, (zero, zero), (flat_c, w_c, c_c))
     upd = sums / jnp.maximum(cnts, 1.0)
     upd_flat = upd.reshape(N_TUPLES, _HI * _LANES)[:, :TABLE_SIZE].reshape(-1)
     return table + upd_flat

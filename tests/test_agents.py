@@ -75,6 +75,85 @@ class TestActionValues:
         assert bool(jnp.isfinite(q).any())
 
 
+class TestAfterstateSearch:
+    """make_afterstate_policy: expectimax over afterstate values — the
+    consistent amplifier for the TD n-tuple table (docs/PERF.md: the
+    state-leaf depth-1 search was WORSE than greedy because the table is
+    trained on afterstates)."""
+
+    def _table_value_fn(self, seed=0, scale=100.0):
+        import numpy as np
+
+        from gym2048_tpu.models import ntuple
+
+        rng = np.random.default_rng(seed)
+        table = jnp.asarray(
+            (rng.normal(size=17 * ntuple.TABLE_SIZE) * scale).astype(
+                np.float32
+            )
+        )
+        return table, lambda bs: ntuple.value_batch(table, bs)
+
+    def test_depth1_equals_greedy_td_policy(self):
+        import numpy as np
+
+        from gym2048_tpu.train import td
+
+        table, value_fn = self._table_value_fn()
+        rng = np.random.default_rng(4)
+        boards = jnp.asarray(rng.integers(0, 6, size=(64, 4, 4)), jnp.int8)
+        policy = expectimax.make_afterstate_policy(value_fn, depth=1)
+        a_search = np.asarray(policy(boards))
+        a_greedy = np.asarray(td._greedy_batch(value_fn, boards)[0])
+        live = np.asarray(
+            jax.vmap(lambda b: rules.move_all(b)[2])(boards)
+        ).any(-1)
+        np.testing.assert_array_equal(a_search[live], a_greedy[live])
+
+    def test_depth2_actions_legal(self):
+        import numpy as np
+
+        _, value_fn = self._table_value_fn(1)
+        rng = np.random.default_rng(5)
+        boards = jnp.asarray(rng.integers(0, 7, size=(32, 4, 4)), jnp.int8)
+        policy = jax.jit(expectimax.make_afterstate_policy(value_fn, depth=2))
+        a = np.asarray(policy(boards))
+        legal = np.asarray(jax.vmap(lambda b: rules.move_all(b)[2])(boards))
+        for i in range(32):
+            if legal[i].any():
+                assert legal[i, a[i]], i
+
+    def test_depth2_backs_up_spawn_expectation(self):
+        # hand-checkable 2-ply backup: value table that rewards a specific
+        # afterstate reachable only at ply 2 must steer the ply-1 choice
+        import numpy as np
+
+        from gym2048_tpu.models import ntuple
+
+        boards = jnp.asarray(
+            np.array([[[1, 1, 2, 3], [0, 0, 0, 0], [0, 0, 0, 0],
+                       [0, 0, 0, 0]]]), jnp.int8
+        )
+        # with a zero table the backup is pure reward: both depths must
+        # pick a merging move (LEFT or RIGHT merge the two 2-tiles, +4;
+        # DOWN earns 0, UP is illegal)
+        zero_fn = lambda bs: jnp.zeros(bs.shape[0], jnp.float32)
+        p1 = expectimax.make_afterstate_policy(zero_fn, depth=1)
+        p2 = expectimax.make_afterstate_policy(zero_fn, depth=2)
+        a1, a2 = int(p1(boards)[0]), int(p2(boards)[0])
+        assert a1 in (rules.LEFT, rules.RIGHT)
+        assert a2 in (rules.LEFT, rules.RIGHT)
+
+    def test_play_policy_with_afterstate_search(self):
+        _, value_fn = self._table_value_fn(2)
+        res = expectimax.play_policy(
+            expectimax.make_afterstate_policy(value_fn, depth=2),
+            episodes=4, key=jax.random.PRNGKey(0), move_cap=300,
+        )
+        assert res["Average score"] >= 0.0
+        assert len(res["Episodes"]) == 4
+
+
 class TestPlay:
     def test_beats_random_play(self):
         # 8 episodes, shallow search, capped length — still must decisively
