@@ -171,6 +171,60 @@ def _spawn_cm(bd: jax.Array, u_p: jax.Array, u_v: jax.Array) -> jax.Array:
     return bd + target.astype(jnp.int32) * val[None, :]
 
 
+def _step_cm(board, score, episodes, total_score, u, max_tile_exp: int):
+    """One random-legal self-play step with auto-reset on ``[16, B]``
+    boards, uniforms ``u [>=5, B]`` supplied by the caller.
+
+    The shared dataflow of :func:`fused_rollout` (in-kernel PRNG) and
+    :func:`fused_step_uniform` (host-supplied uniforms — the CI-testable
+    surface: interpret-mode PRNG returns constants, so everything
+    downstream of the uniforms is validated on CPU and only
+    ``_random_uniform_rows`` itself needs the real chip,
+    scripts/tpu_pallas_stats.py).
+
+    Uniform rows: 0 = action choice, 1/2 = spawn position/value,
+    3/4 = reset second-tile position/value.
+    """
+    u_act, u_pos, u_val, u_pos2, u_val2 = u[0], u[1], u[2], u[3], u[4]
+
+    outs, legal_dir, score_dir = _compute_moves(board)
+    legal_i = [x.astype(jnp.int32) for x in legal_dir]
+    n_legal = legal_i[0] + legal_i[1] + legal_i[2] + legal_i[3]
+    dead = n_legal == 0
+
+    # r-th legal direction: exactly one d satisfies legal & (cum == r)
+    r = (u_act * n_legal.astype(jnp.float32)).astype(jnp.int32)
+    r = jnp.minimum(r, jnp.maximum(n_legal - 1, 0))
+    cum = jnp.zeros_like(n_legal)
+    action = jnp.zeros_like(n_legal)
+    for d in range(4):
+        hit = legal_dir[d] & (cum == r)
+        action = jnp.where(hit, jnp.int32(d), action)
+        cum = cum + legal_i[d]
+    move_score = _select4(action, score_dir)
+
+    moved = _apply_action(outs, action)
+    stepped = _spawn_cm(moved, u_pos, u_val)
+
+    if max_tile_exp > 0:
+        won = (stepped == max_tile_exp).any(axis=0)
+    else:
+        won = jnp.zeros_like(dead)
+
+    fresh = _spawn_cm(
+        _spawn_cm(jnp.zeros_like(board), u_pos, u_val), u_pos2, u_val2
+    )
+    finish = dead | won
+    # dead boards took no move (stepped == board, move_score == 0,
+    # since every line is unchanged), so one where() covers all cases
+    new_board = jnp.where(finish[None, :], fresh, stepped)
+    gained = move_score.astype(jnp.float32)
+    new_score = jnp.where(finish, 0.0, score + gained)
+    new_total = total_score + gained
+    new_episodes = episodes + finish.astype(jnp.int32)
+    return new_board, new_score, new_episodes, new_total, action
+
+
 # --------------------------------------------------------------- kernels
 def _move_kernel(board_ref, action_ref, out_ref, score_ref, legal_ref):
     """One deterministic move with given actions (test surface)."""
@@ -194,48 +248,11 @@ def _rollout_kernel(
     def step_fn(_, carry):
         board, score, episodes, total_score = carry
         blk = board.shape[1]
-
         u = _random_uniform_rows((8, blk))
-        u_act, u_pos, u_val, u_pos2, u_val2 = (
-            u[0], u[1], u[2], u[3], u[4]
+        board, score, episodes, total_score, _ = _step_cm(
+            board, score, episodes, total_score, u, max_tile_exp
         )
-
-        outs, legal_dir, score_dir = _compute_moves(board)
-        legal_i = [x.astype(jnp.int32) for x in legal_dir]
-        n_legal = legal_i[0] + legal_i[1] + legal_i[2] + legal_i[3]
-        dead = n_legal == 0
-
-        # r-th legal direction: exactly one d satisfies legal & (cum == r)
-        r = (u_act * n_legal.astype(jnp.float32)).astype(jnp.int32)
-        r = jnp.minimum(r, jnp.maximum(n_legal - 1, 0))
-        cum = jnp.zeros_like(n_legal)
-        action = jnp.zeros_like(n_legal)
-        for d in range(4):
-            hit = legal_dir[d] & (cum == r)
-            action = jnp.where(hit, jnp.int32(d), action)
-            cum = cum + legal_i[d]
-        move_score = _select4(action, score_dir)
-
-        moved = _apply_action(outs, action)
-        stepped = _spawn_cm(moved, u_pos, u_val)
-
-        if max_tile_exp > 0:
-            won = (stepped == max_tile_exp).any(axis=0)
-        else:
-            won = jnp.zeros_like(dead)
-
-        fresh = _spawn_cm(
-            _spawn_cm(jnp.zeros_like(board), u_pos, u_val), u_pos2, u_val2
-        )
-        finish = dead | won
-        # dead boards took no move (stepped == board, move_score == 0,
-        # since every line is unchanged), so one where() covers all cases
-        new_board = jnp.where(finish[None, :], fresh, stepped)
-        gained = move_score.astype(jnp.float32)
-        new_score = jnp.where(finish, 0.0, score + gained)
-        new_total = total_score + gained
-        new_episodes = episodes + finish.astype(jnp.int32)
-        return new_board, new_score, new_episodes, new_total
+        return board, score, episodes, total_score
 
     board = board_ref[:, :].astype(jnp.int32)
     zero_f = jnp.zeros(board.shape[1], jnp.float32)
@@ -247,6 +264,78 @@ def _rollout_kernel(
     score_ref[:, :] = score[None, :]
     episodes_ref[:, :] = episodes[None, :]
     total_score_ref[:, :] = total[None, :]
+
+
+def _step_uniform_kernel(
+    board_ref, u_ref, out_board_ref, score_ref, episodes_ref, action_ref,
+    max_tile_exp: int,
+):
+    """One rollout step with caller-supplied uniforms (no PRNG)."""
+    board = board_ref[:, :].astype(jnp.int32)
+    zero_f = jnp.zeros(board.shape[1], jnp.float32)
+    zero_i = jnp.zeros(board.shape[1], jnp.int32)
+    new_board, score, episodes, _, action = _step_cm(
+        board, zero_f, zero_i, zero_f, u_ref[:, :], max_tile_exp
+    )
+    out_board_ref[:, :] = new_board
+    score_ref[:, :] = score[None, :]
+    episodes_ref[:, :] = episodes[None, :]
+    action_ref[:, :] = action[None, :]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def fused_step_uniform(
+    boards_cm: jax.Array,
+    u: jax.Array,
+    block: int = 2048,
+    max_tile_exp: int = 0,
+    interpret=False,
+):
+    """One random-legal rollout step with uniforms supplied by the caller.
+
+    The deterministic test surface for the rollout kernel: identical
+    dataflow to one :func:`fused_rollout` iteration (action selection,
+    spawn, win/dead detection, auto-reset) but the ``u [8, B]`` uniforms
+    come in as an operand instead of the in-kernel PRNG, so interpret mode
+    on CPU exercises everything the statistics-only TPU job cannot
+    (tests/test_pallas.py; scripts/tpu_pallas_stats.py covers the PRNG).
+
+    Returns ``(new_board [16, B], step_score [B] f32 (0 after a reset),
+    finished [B] i32, action [B] i32)``.
+    """
+    n = boards_cm.shape[1]
+    block = min(block, n)
+    assert n % block == 0
+    kernel = functools.partial(_step_uniform_kernel,
+                               max_tile_exp=max_tile_exp)
+    out, score, eps, action = pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((16, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(boards_cm, u.astype(jnp.float32))
+    return out, score[0], eps[0], action[0]
 
 
 # ------------------------------------------------------------ public API

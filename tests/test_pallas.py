@@ -68,6 +68,100 @@ class TestMoveKernel:
         )
 
 
+def _reference_step_uniform(boards, u):
+    """XLA reference of one rollout-kernel step with given uniforms.
+
+    Reimplements the kernel's semantics with core.rules ops and identical
+    f32 index arithmetic: action = r-th legal direction with
+    r = int(u0 * n_legal); spawn via rules.spawn (same k = floor(u*n_empty)
+    law as _spawn_cm); dead-or-won boards auto-reset to two fresh spawns
+    from uniform rows 1-4.
+    """
+    b = boards.shape[0]
+    moved, scores, legal = jax.vmap(rules.move_all)(boards)
+    legal_i = legal.astype(jnp.int32)
+    n_legal = legal_i.sum(-1)
+    dead = n_legal == 0
+    r = (u[0] * n_legal.astype(jnp.float32)).astype(jnp.int32)
+    r = jnp.minimum(r, jnp.maximum(n_legal - 1, 0))
+    cum = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(legal_i, -1)[:, :3]], -1
+    )
+    action = (
+        (legal & (cum == r[:, None])) * jnp.arange(4)[None, :]
+    ).sum(-1)
+    sel = jnp.arange(4)[None, :] == action[:, None]
+    after = jnp.where(sel[:, :, None, None], moved, 0).sum(1).astype(
+        boards.dtype
+    )
+    move_score = jnp.where(sel, scores, 0).sum(-1)
+    stepped = rules.spawn(after, u[2], u[1])  # (board, u_val, u_pos)
+    zero = jnp.zeros_like(boards)
+    fresh = rules.spawn(rules.spawn(zero, u[2], u[1]), u[4], u[3])
+    new_board = jnp.where(dead[:, None, None], fresh, stepped)
+    score = jnp.where(dead, 0.0, move_score.astype(jnp.float32))
+    return new_board, score, dead.astype(jnp.int32), action
+
+
+class TestStepUniformKernel:
+    """The rollout kernel's full step dataflow — action selection, spawn,
+    auto-reset — validated on CPU in interpret mode by feeding the same
+    uniforms to the kernel and to an XLA reference (closes the round-1 gap
+    where only the TPU-only statistics job covered this code)."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_xla_reference_bit_exact(self, seed):
+        n = 256
+        rng = np.random.default_rng(seed)
+        boards = random_boards(n, seed, max_exp=8, p_zero=0.5)
+        # include some dead boards to exercise the auto-reset branch
+        dead = np.asarray(
+            [[1, 2, 3, 4], [5, 6, 7, 8], [1, 2, 3, 4], [5, 6, 7, 8]],
+            np.int8,
+        )
+        boards[:8] = dead
+        u = rng.random((8, n)).astype(np.float32)
+
+        cm = pallas_step.to_cell_major(jnp.asarray(boards))
+        out_cm, score, eps, action = pallas_step.fused_step_uniform(
+            cm, jnp.asarray(u), 256, 0, not ON_TPU
+        )
+        got_board = pallas_step.from_cell_major(out_cm)
+
+        want_board, want_score, want_eps, want_action = (
+            _reference_step_uniform(jnp.asarray(boards), jnp.asarray(u))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(action), np.asarray(want_action)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_board), np.asarray(want_board)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(score), np.asarray(want_score)
+        )
+        np.testing.assert_array_equal(np.asarray(eps), np.asarray(want_eps))
+
+    def test_multi_step_scan_stays_consistent(self):
+        # several uniform-fed steps in sequence keep boards valid and
+        # scores equal to the XLA reference (catches carry-shape bugs)
+        n = 128
+        rng = np.random.default_rng(3)
+        boards = jnp.asarray(random_boards(n, 3, max_exp=6, p_zero=0.6))
+        cm = pallas_step.to_cell_major(boards)
+        ref = boards
+        for t in range(5):
+            u = jnp.asarray(rng.random((8, n)).astype(np.float32))
+            cm, s_k, e_k, a_k = pallas_step.fused_step_uniform(
+                cm, u, 128, 0, not ON_TPU
+            )
+            ref, s_r, e_r, a_r = _reference_step_uniform(ref, u)
+            np.testing.assert_array_equal(
+                np.asarray(pallas_step.from_cell_major(cm)),
+                np.asarray(ref), err_msg=f"step {t}",
+            )
+
+
 @pytest.mark.skipif(not ON_TPU, reason="rollout kernel needs real TPU PRNG")
 class TestRolloutKernel:
     def test_statistics_match_reference_env(self):
