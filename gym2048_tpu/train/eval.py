@@ -168,6 +168,19 @@ def evaluate_batched(
     """All episodes in parallel on device; same protocol semantics
     (illegal reward -1, epsilon-greedy argmax, move cap), device RNG.
 
+    RNG semantics vs :func:`evaluate_model` (the parity claim boundary):
+    the host evaluator reproduces the reference protocol BIT-exactly —
+    NumPy PCG64 streams seeded 456+i / 123+i, the reference's exact
+    ``random()`` call order (train.py:122-214). This batched evaluator is
+    the same protocol under ``jax.random`` keys: identical distributions
+    (spawn law, epsilon law) but a different stream, so per-episode
+    results differ sample-by-sample while the summary statistics agree to
+    sampling error — for the same checkpoint expect the two Average
+    scores to differ by up to ~2 SEM (per-episode score std / sqrt(N);
+    ~15-30%% of the mean at the reference's N=10, a few %% at N=512).
+    Parity claims (PARITY.md C14) attach to the host evaluator; this one
+    exists for training-time eval at batch scale.
+
     ``mask_illegal`` restricts both the greedy argmax and the epsilon
     exploration to legal moves — required when evaluating a policy trained
     with ``PPOConfig.mask_illegal`` (such a policy never learned to rank

@@ -84,6 +84,9 @@ def ppo_iteration_rate(n_devices: int, envs_per_device: int) -> float:
         n_epochs=1,
         filters=16,
         residual_blocks=2,
+        # the multi-chip mode (docs/MULTIHOST.md): device-local shuffle,
+        # all-reduce-only HLO (enforced by tests/test_parallel.py)
+        shuffle_mode="sharded",
     )
     ppo = PPO(cfg)
     mesh = make_mesh(jax.devices()[:n_devices])
