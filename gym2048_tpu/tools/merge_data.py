@@ -31,13 +31,13 @@ def main(argv=None) -> None:
             data.merge(part)
             accepted += 1
             if args.max_files and accepted >= args.max_files:
-                print(f"Breaking out at maximum number of files "
-                      f"{args.max_files}")
+                print(f"Stopping: --max-files limit of {args.max_files} "
+                      f"reached")
                 break
         else:
-            print(f"Rejecting {path} as highest tile ({high}) was less "
-                  f"than minimum")
-    print(f"Combined data has {data.size()} samples from {accepted} files")
+            print(f"Rejecting {path}: highest tile {high} is below "
+                  f"--min-high-tile {args.min_high_tile}")
+    print(f"Merged {data.size()} samples from {accepted} accepted files")
     data.export_csv(args.output, add_returns=True)
 
 
