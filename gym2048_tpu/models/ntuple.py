@@ -328,3 +328,114 @@ def td_update_mxu(
     upd = sums / jnp.maximum(cnts, 1.0)
     upd_flat = upd.reshape(N_TUPLES, _HI * _LANES)[:, :TABLE_SIZE].reshape(-1)
     return table + upd_flat
+
+
+def _unpad(acc: jax.Array) -> jax.Array:
+    """(17, _HI, _LANES) padded accumulator -> flat (17 * 83521,)."""
+    return acc.reshape(N_TUPLES, _HI * _LANES)[:, :TABLE_SIZE].reshape(-1)
+
+
+def _tc_combine(table, tc_e, tc_a, sums, absums, cnts, alpha):
+    """Shared TC update math (flat arrays): accumulate the signed and
+    absolute TD-error masses per entry, derive the coherence rate
+    ``|E| / A`` (1.0 for an untouched entry, -> 0 where errors oscillate),
+    and apply the count-normalised mean update scaled by it."""
+    d = sums / jnp.maximum(cnts, 1.0)
+    e2 = tc_e + sums
+    a2 = tc_a + absums
+    rate = jnp.where(a2 > 0.0, jnp.abs(e2) / jnp.maximum(a2, 1e-30), 1.0)
+    return table + alpha * rate * d, e2, a2
+
+
+def td_update_tc(
+    table: jax.Array,
+    tc_e: jax.Array,
+    tc_a: jax.Array,
+    boards: jax.Array,
+    deltas: jax.Array,
+    alpha: float,
+    valid: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Temporal-coherence TD update (Beal & Smith 1999), scatter backend.
+
+    Each table entry ``i`` keeps two accumulators: ``tc_e[i]`` (sum of the
+    signed per-occurrence updates that hit it) and ``tc_a[i]`` (sum of
+    their magnitudes). The per-entry learning rate is ``|tc_e| / tc_a`` —
+    1.0 while errors agree in sign (keep learning fast), decaying toward 0
+    once they oscillate (the entry has converged; stop chasing noise).
+    This removes the global alpha anneal: pass ``alpha`` as the meta-rate
+    (1.0 in the literature). Returns ``(table, tc_e, tc_a)``.
+    """
+    n = deltas.shape[0]
+    w0 = (8.0 / N_FEATURES) * deltas  # per-occurrence signed update
+    idx = jax.vmap(feature_indices)(boards).reshape(-1)
+    w = jnp.broadcast_to(w0[:, None], (n, N_FEATURES)).reshape(-1)
+    if valid is not None:
+        keep = jnp.broadcast_to(valid[:, None], (n, N_FEATURES)).reshape(-1)
+        idx = jnp.where(keep, idx, table.shape[0])  # dropped by scatter
+    sums = jnp.zeros_like(table).at[idx].add(w, mode="drop")
+    absums = jnp.zeros_like(table).at[idx].add(jnp.abs(w), mode="drop")
+    cnts = jnp.zeros_like(table).at[idx].add(1.0, mode="drop")
+    return _tc_combine(table, tc_e, tc_a, sums, absums, cnts, alpha)
+
+
+def td_update_tc_mxu(
+    table: jax.Array,
+    tc_e: jax.Array,
+    tc_a: jax.Array,
+    boards: jax.Array,
+    deltas: jax.Array,
+    alpha: float,
+    valid: jax.Array | None = None,
+    chunk: int = 4096,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`td_update_tc` on the MXU — :func:`td_update_mxu`'s one-hot
+    contraction run a third time with ``|w|`` weights for the absolute
+    accumulator (+~50% update cost, negligible against the value path)."""
+    n = deltas.shape[0]
+    w1 = (8.0 / N_FEATURES) * deltas
+    if valid is not None:
+        c1 = valid.astype(jnp.float32)
+        w1 = w1 * c1
+    else:
+        c1 = jnp.ones_like(w1)
+
+    cb = max(1, min(chunk // 8, n))
+    pad = (-n) % cb
+    flat = boards.reshape(n, 16)
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad, 16), flat.dtype)])
+        w1 = jnp.concatenate([w1, jnp.zeros(pad, w1.dtype)])
+        c1 = jnp.concatenate([c1, jnp.zeros(pad, c1.dtype)])
+    flat_c = flat.reshape(-1, cb, 16)
+    w_c = w1.reshape(-1, cb)
+    c_c = c1.reshape(-1, cb)
+
+    def body(acc, args):
+        bc, wc, cc = args
+        ic = local_indices_batch(bc.reshape(cb, 4, 4)).reshape(
+            cb * 8, N_TUPLES
+        )
+        wl_w = jnp.broadcast_to(wc[:, None], (cb, 8)).reshape(-1)
+        cl_w = jnp.broadcast_to(cc[:, None], (cb, 8)).reshape(-1)
+        hi = ic // _LANES
+        lo = ic % _LANES
+        dt = _mxu_dtype()
+        oh_hi = jax.nn.one_hot(hi, _HI, dtype=dt)
+        oh_lo = jax.nn.one_hot(lo, _LANES, dtype=dt)
+        wl = oh_lo * wl_w[:, None, None].astype(dt)
+        al = oh_lo * jnp.abs(wl_w)[:, None, None].astype(dt)
+        cl = oh_lo * cl_w[:, None, None].astype(dt)
+        kw = dict(preferred_element_type=jnp.float32)
+        sums = jnp.einsum("cth,ctl->thl", oh_hi, wl, **kw)
+        absums = jnp.einsum("cth,ctl->thl", oh_hi, al, **kw)
+        cnts = jnp.einsum("cth,ctl->thl", oh_hi, cl, **kw)
+        return (acc[0] + sums, acc[1] + absums, acc[2] + cnts), None
+
+    zero = jnp.zeros((N_TUPLES, _HI, _LANES), jnp.float32)
+    (sums, absums, cnts), _ = jax.lax.scan(
+        body, (zero, zero, zero), (flat_c, w_c, c_c)
+    )
+    return _tc_combine(
+        table, tc_e, tc_a, _unpad(sums), _unpad(absums), _unpad(cnts), alpha
+    )

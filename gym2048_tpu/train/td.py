@@ -50,6 +50,10 @@ class TDConfig:
     # "mxu" (split-bf16 one-hot matmuls, exact to ~2^-16 — XLA:TPU gather
     # sustains only ~135M idx/s and left the chunk gather-bound), or "auto".
     value_impl: str = "auto"
+    # temporal-coherence learning (Beal & Smith): per-entry adaptive rates
+    # |sum(deltas)| / sum(|deltas|) replace the global alpha anneal — set
+    # alpha = alpha_final = 1.0 (the meta-rate) when enabling.
+    tc: bool = False
 
 
 def _fresh_boards(key: jax.Array, n: int) -> jax.Array:
@@ -124,6 +128,9 @@ class TDTrainer:
         self._td_update = (
             ntuple.td_update_mxu if impl == "mxu" else ntuple.td_update
         )
+        self._td_update_tc = (
+            ntuple.td_update_tc_mxu if impl == "mxu" else ntuple.td_update_tc
+        )
         vimpl = self.cfg.value_impl
         if vimpl == "auto":
             vimpl = "mxu" if on_tpu else "gather"
@@ -138,7 +145,7 @@ class TDTrainer:
         # per-entry x gives value(board) = 136x/8 = 17x ~= init_value
         table = ntuple.init_table(cfg.init_value / ntuple.N_TUPLES)
         boards = _fresh_boards(k0, cfg.n_envs)
-        return {
+        state = {
             "table": table,
             "boards": boards,
             "score": jnp.zeros(cfg.n_envs, jnp.float32),
@@ -150,6 +157,10 @@ class TDTrainer:
             "prev_valid": jnp.zeros(cfg.n_envs, bool),
             "key": key,
         }
+        if cfg.tc:
+            state["tc_e"] = jnp.zeros_like(table)
+            state["tc_a"] = jnp.zeros_like(table)
+        return state
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_chunk(self, state: dict, alpha: jax.Array):
@@ -164,8 +175,9 @@ class TDTrainer:
         cfg = self.cfg
 
         def body(carry, _):
-            table, boards, score, prev_after, prev_v, prev_valid, key = carry
-            key, kv, kp, kr = jax.random.split(key, 4)
+            table = carry["table"]
+            boards, score = carry["boards"], carry["score"]
+            key, kv, kp, kr = jax.random.split(carry["key"], 4)
 
             if self._value_impl == "mxu":
                 t_hi, t_lo = ntuple.split_table(table)
@@ -180,10 +192,18 @@ class TDTrainer:
             # the occurrence counts (their zero-delta rows would otherwise
             # dilute colliding entries' mean update toward 0).
             target = jnp.where(alive, r + v_after, 0.0)
-            delta = target - prev_v
-            table = self._td_update(
-                table, prev_after, delta, alpha, valid=prev_valid
-            )
+            delta = target - carry["prev_v"]
+            new = dict(carry)
+            if cfg.tc:
+                new["table"], new["tc_e"], new["tc_a"] = self._td_update_tc(
+                    table, carry["tc_e"], carry["tc_a"], carry["prev_after"],
+                    delta, alpha, valid=carry["prev_valid"],
+                )
+            else:
+                new["table"] = self._td_update(
+                    table, carry["prev_after"], delta, alpha,
+                    valid=carry["prev_valid"],
+                )
 
             next_state = jax.vmap(rules.spawn)(
                 after,
@@ -199,28 +219,19 @@ class TDTrainer:
             highest = boards.max()
 
             fresh = _fresh_boards(kr, cfg.n_envs)
-            boards = jnp.where(done[:, None, None], fresh, next_state)
-            score = jnp.where(done, 0.0, score)
+            new["boards"] = jnp.where(done[:, None, None], fresh, next_state)
+            new["score"] = jnp.where(done, 0.0, score)
+            new["prev_after"] = after
+            new["prev_v"] = v_after
+            new["prev_valid"] = alive
+            new["key"] = key
 
             stats = (n_done, done_score, highest)
-            return (
-                table, boards, score, after, v_after, alive, key
-            ), stats
+            return new, stats
 
-        carry = (
-            state["table"], state["boards"], state["score"],
-            state["prev_after"], state["prev_v"], state["prev_valid"],
-            state["key"],
+        new_state, (n_done, done_score, highest) = jax.lax.scan(
+            body, dict(state), None, length=cfg.chunk_steps
         )
-        carry, (n_done, done_score, highest) = jax.lax.scan(
-            body, carry, None, length=cfg.chunk_steps
-        )
-        (table, boards, score, prev_after, prev_v, prev_valid, key) = carry
-        new_state = {
-            "table": table, "boards": boards, "score": score,
-            "prev_after": prev_after, "prev_v": prev_v,
-            "prev_valid": prev_valid, "key": key,
-        }
         metrics = {
             "episodes": n_done.sum(),
             "ep_score_mean": done_score.sum()
@@ -397,6 +408,12 @@ def main(argv: list[str] | None = None) -> None:
         "--update-impl", choices=("auto", "scatter", "mxu"), default="auto",
         help="table update path: XLA scatter or MXU one-hot matmul",
     )
+    p.add_argument(
+        "--tc", action="store_true",
+        help="temporal-coherence per-entry adaptive rates (set --alpha "
+        "and --alpha-final to the meta-rate, typically 1.0); the TC "
+        "accumulators are NOT saved, so --resume restarts them fresh",
+    )
     p.add_argument("--eval-episodes", type=int, default=128)
     p.add_argument("--output", default="ntuple_table.pkl")
     p.add_argument("--resume", default=None, help="table .pkl to continue")
@@ -406,7 +423,7 @@ def main(argv: list[str] | None = None) -> None:
         total_steps=args.steps, n_envs=args.envs, alpha=args.alpha,
         alpha_final=args.alpha_final, init_value=args.init_value,
         seed=args.seed, chunk_steps=args.chunk_steps,
-        update_impl=args.update_impl,
+        update_impl=args.update_impl, tc=args.tc,
     )
     trainer = TDTrainer(cfg)
     state = trainer.init_state()

@@ -156,6 +156,64 @@ class TestMXUPaths:
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
+    def test_td_update_tc_scatter_vs_mxu_exact(self):
+        rng = np.random.default_rng(7)
+        boards = jnp.asarray(rng.integers(0, 12, size=(80, 4, 4)), jnp.int8)
+        deltas = jnp.asarray(rng.normal(size=80) * 100, jnp.float32)
+        valid = jnp.asarray(rng.random(80) > 0.3)
+        table = ntuple.init_table(5.0)
+        e = jnp.zeros_like(table)
+        a = jnp.zeros_like(table)
+        ref = ntuple.td_update_tc(table, e, a, boards, deltas, 1.0, valid)
+        got = ntuple.td_update_tc_mxu(
+            table, e, a, boards, deltas, 1.0, valid, chunk=256
+        )
+        for x, y in zip(ref, got):  # f32 on CPU: bit-identical dataflow
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6
+            )
+
+    def test_tc_first_touch_moves_value_by_alpha_delta(self):
+        # untouched entries have rate 1.0 -> same semantics as plain TD
+        table = ntuple.init_table(0.0)
+        e = jnp.zeros_like(table)
+        a = jnp.zeros_like(table)
+        board = jnp.zeros((4, 4), jnp.int8).at[0, 0].set(1)
+        t2, _, _ = ntuple.td_update_tc(
+            table, e, a, board[None], jnp.array([10.0]), 0.5
+        )
+        np.testing.assert_allclose(
+            float(ntuple.value(t2, board)), 5.0, rtol=1e-5
+        )
+
+    def test_tc_oscillation_damps_rate(self):
+        # alternating +d/-d errors must collapse the per-entry rate
+        table = ntuple.init_table(0.0)
+        e = jnp.zeros_like(table)
+        a = jnp.zeros_like(table)
+        board = jnp.zeros((4, 4), jnp.int8).at[0, 0].set(1)
+        for i in range(6):
+            d = jnp.array([10.0 if i % 2 == 0 else -10.0])
+            table, e, a = ntuple.td_update_tc(table, e, a, board[None], d, 1.0)
+        idx = np.asarray(ntuple.feature_indices(board))
+        rate = np.abs(np.asarray(e)[idx]) / np.maximum(
+            np.asarray(a)[idx], 1e-30
+        )
+        assert rate.max() < 0.5
+
+    def test_tc_trainer_learns(self):
+        cfg = td.TDConfig(
+            total_steps=786432, n_envs=512, chunk_steps=48,
+            alpha=1.0, alpha_final=1.0, init_value=20000.0, tc=True,
+        )
+        tr = td.TDTrainer(cfg)
+        state, _ = tr.learn(log_fn=None)
+        assert np.isfinite(np.asarray(state["table"])).all()
+        res = td.play_greedy(
+            state["table"], 32, jax.random.PRNGKey(5), move_cap=3000
+        )
+        assert res["Average score"] > 2000.0  # random play averages ~1000
+
     def test_mxu_chunk_trains(self):
         cfg = td.TDConfig(
             total_steps=32768, n_envs=128, chunk_steps=32,
