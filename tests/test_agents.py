@@ -144,6 +144,29 @@ class TestAfterstateSearch:
         assert a1 in (rules.LEFT, rules.RIGHT)
         assert a2 in (rules.LEFT, rules.RIGHT)
 
+    def test_cli_table_mode(self, tmp_path, capsys):
+        import json
+
+        import numpy as np
+
+        from gym2048_tpu.models import ntuple
+        from gym2048_tpu.utils.checkpoint import save_model
+
+        rng = np.random.default_rng(0)
+        path = str(tmp_path / "table.pkl")
+        save_model(path, {
+            "table": (rng.normal(size=17 * ntuple.TABLE_SIZE) * 100).astype(
+                np.float32
+            )
+        })
+        expectimax.main([
+            "--episodes", "2", "--depth", "1", "--move-cap", "60",
+            "--table", path,
+        ])
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["episodes"] == 2
+        assert res["Average score"] >= 0.0
+
     def test_play_policy_with_afterstate_search(self):
         _, value_fn = self._table_value_fn(2)
         res = expectimax.play_policy(
