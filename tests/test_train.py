@@ -110,6 +110,28 @@ class TestEval:
         assert results["Highest tile"] >= 4
         assert all(e["moves"] <= 51 for e in results["Episodes"])
 
+    def test_evaluators_agree_statistically(self):
+        """The documented host/batched evaluator relationship
+        (train/eval.py): same protocol, different RNG streams — summary
+        statistics agree to sampling error on the same checkpoint. Uses an
+        untrained policy (episodes are short, so the host path is cheap)
+        and generous batched N to pin the population mean."""
+        model, variables = self._tiny_model()
+        predict = make_predict_fn(model, variables)
+        host = evaluate_model(predict, episodes=24, epsilon=0.1,
+                              verbose=False)
+        batched = evaluate_batched(
+            model, variables, episodes=512, epsilon=0.1,
+            key=jax.random.PRNGKey(3),
+        )
+        h = np.array([e["total_reward"] for e in host["Episodes"]])
+        b = np.array([e["total_reward"] for e in batched["Episodes"]])
+        sem = (h.std(ddof=1) / np.sqrt(len(h))
+               + b.std(ddof=1) / np.sqrt(len(b)))
+        assert abs(h.mean() - b.mean()) < 4.0 * sem, (
+            h.mean(), b.mean(), sem
+        )
+
 
 class TestCheckpoint:
     def test_roundtrip_and_resume(self, tmp_path):
