@@ -384,7 +384,8 @@ def main(argv: list[str] | None = None) -> None:
         "(make_afterstate_policy) instead of the heuristic leaf",
     )
     p.add_argument(
-        "--value-impl", choices=("auto", "gather", "mxu"), default="auto",
+        "--value-impl", choices=("auto", "gather", "mxu", "mxu_bf16"),
+        default="auto",
     )
     args = p.parse_args(argv)
 
@@ -399,8 +400,10 @@ def main(argv: list[str] | None = None) -> None:
         vimpl = args.value_impl
         if vimpl == "auto":
             vimpl = "mxu" if jax.default_backend() == "tpu" else "gather"
-        if vimpl == "mxu":
+        if vimpl.startswith("mxu"):
             t_hi, t_lo = ntuple.split_table(table)
+            if vimpl == "mxu_bf16":
+                t_lo = None
             value_fn = lambda bs: ntuple.value_batch_mxu(t_hi, t_lo, bs)
         else:
             value_fn = lambda bs: ntuple.value_batch(table, bs)

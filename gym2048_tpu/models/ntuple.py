@@ -121,14 +121,23 @@ def split_table(table: jax.Array) -> tuple[jax.Array, jax.Array]:
     pad = _HI * _LANES - TABLE_SIZE
     t = jnp.pad(t, ((0, 0), (0, pad))).reshape(N_TUPLES, _HI, _LANES)
     dt = _mxu_dtype()
-    hi = t.astype(dt)
-    lo = (t - hi.astype(jnp.float32)).astype(dt)
+    # The rounding must be reduce_precision, NOT astype(bf16).astype(f32):
+    # inside a jit XLA folds the f32->bf16->f32 convert pair away
+    # (xla_allow_excess_precision), which silently turns lo into
+    # bf16(t - t) == 0 — the split degrades to a plain bf16 lookup while
+    # still paying for the correction matmul. reduce_precision performs
+    # the same bf16 rounding in f32 and cannot be simplified away.
+    # (Found empirically: bit-identical training between the split and
+    # bf16-only modes, docs/PERF.md precision note.)
+    hi_f32 = jax.lax.reduce_precision(t, exponent_bits=8, mantissa_bits=7)
+    hi = hi_f32.astype(dt)
+    lo = (t - hi_f32).astype(dt)
     return hi, lo
 
 
 def value_batch_mxu(
     t_hi: jax.Array,
-    t_lo: jax.Array,
+    t_lo: jax.Array | None,
     boards: jax.Array,
     chunk: int = 4096,
 ) -> jax.Array:
@@ -144,6 +153,9 @@ def value_batch_mxu(
     run twice against the split-bf16 table halves from :func:`split_table`
     and summed in f32, so results match the f32 gather to ~2^-16 relative
     — exact enough that selection, TD targets and evaluation all share it.
+    Pass ``t_lo=None`` to skip the correction pass (plain bf16 lookup,
+    ~0.4% relative value noise, half the FLOPs — the ``mxu_bf16`` value
+    mode; training quality measured equal, docs/PERF.md).
     """
     n = boards.shape[0]
     cb = max(1, min(chunk // 8, n))  # boards per chunk (8 lookups each)
@@ -163,10 +175,12 @@ def value_batch_mxu(
         rows = jnp.einsum(
             "cth,thl->ctl", oh_hi, t_hi,
             preferred_element_type=jnp.float32,
-        ) + jnp.einsum(
-            "cth,thl->ctl", oh_hi, t_lo,
-            preferred_element_type=jnp.float32,
         )
+        if t_lo is not None:  # second pass for the f32-exact split
+            rows = rows + jnp.einsum(
+                "cth,thl->ctl", oh_hi, t_lo,
+                preferred_element_type=jnp.float32,
+            )
         v = (rows * oh_lo).sum(-1).sum(-1)  # (C,)
         return None, v.reshape(cb, 8).sum(-1) / 8.0
 

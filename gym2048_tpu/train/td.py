@@ -48,7 +48,11 @@ class TDConfig:
     update_impl: str = "auto"
     # value-lookup implementation: "gather" (XLA gather; fast on CPU),
     # "mxu" (split-bf16 one-hot matmuls, exact to ~2^-16 — XLA:TPU gather
-    # sustains only ~135M idx/s and left the chunk gather-bound), or "auto".
+    # sustains only ~135M idx/s and left the chunk gather-bound),
+    # "mxu_bf16" (single-pass bf16 lookup: ~0.4% value noise, half the
+    # value FLOPs — measured equal training quality at 150M and 1B steps,
+    # docs/PERF.md), or "auto" (mxu_bf16 on TPU for training throughput,
+    # gather elsewhere; evaluation keeps exact values — see play_greedy).
     value_impl: str = "auto"
     # temporal-coherence learning (Beal & Smith): per-entry adaptive rates
     # |sum(deltas)| / sum(|deltas|) replace the global alpha anneal — set
@@ -133,8 +137,8 @@ class TDTrainer:
         )
         vimpl = self.cfg.value_impl
         if vimpl == "auto":
-            vimpl = "mxu" if on_tpu else "gather"
-        assert vimpl in ("gather", "mxu"), vimpl
+            vimpl = "mxu_bf16" if on_tpu else "gather"
+        assert vimpl in ("gather", "mxu", "mxu_bf16"), vimpl
         self._value_impl = vimpl
 
     def init_state(self, key: jax.Array | None = None):
@@ -179,8 +183,10 @@ class TDTrainer:
             boards, score = carry["boards"], carry["score"]
             key, kv, kp, kr = jax.random.split(carry["key"], 4)
 
-            if self._value_impl == "mxu":
+            if self._value_impl.startswith("mxu"):
                 t_hi, t_lo = ntuple.split_table(table)
+                if self._value_impl == "mxu_bf16":
+                    t_lo = None
                 value_fn = lambda bs: ntuple.value_batch_mxu(t_hi, t_lo, bs)
             else:
                 value_fn = lambda bs: ntuple.value_batch(table, bs)
@@ -319,13 +325,20 @@ def play_greedy(
     move_cap: int = 30000,
     value_impl: str = "auto",
 ) -> dict:
-    """Play full games with the greedy afterstate policy (evaluation)."""
+    """Play full games with the greedy afterstate policy (evaluation).
+
+    ``value_impl`` defaults to the EXACT paths (split-bf16 "mxu" on TPU,
+    gather elsewhere) — evaluation scores should never carry lookup noise
+    even though training defaults to the cheaper "mxu_bf16".
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     if value_impl == "auto":
         value_impl = "mxu" if jax.default_backend() == "tpu" else "gather"
-    if value_impl == "mxu":
+    if value_impl.startswith("mxu"):
         t_hi, t_lo = ntuple.split_table(table)
+        if value_impl == "mxu_bf16":
+            t_lo = None
         value_fn = lambda bs: ntuple.value_batch_mxu(t_hi, t_lo, bs)
     else:
         value_fn = lambda bs: ntuple.value_batch(table, bs)
@@ -409,6 +422,12 @@ def main(argv: list[str] | None = None) -> None:
         help="table update path: XLA scatter or MXU one-hot matmul",
     )
     p.add_argument(
+        "--value-impl", choices=("auto", "gather", "mxu", "mxu_bf16"),
+        default="auto",
+        help="value-lookup path; mxu_bf16 trades ~0.4%% value noise for "
+        "half the lookup FLOPs",
+    )
+    p.add_argument(
         "--tc", action="store_true",
         help="temporal-coherence per-entry adaptive rates (set --alpha "
         "and --alpha-final to the meta-rate, typically 1.0); the TC "
@@ -423,7 +442,8 @@ def main(argv: list[str] | None = None) -> None:
         total_steps=args.steps, n_envs=args.envs, alpha=args.alpha,
         alpha_final=args.alpha_final, init_value=args.init_value,
         seed=args.seed, chunk_steps=args.chunk_steps,
-        update_impl=args.update_impl, tc=args.tc,
+        update_impl=args.update_impl, value_impl=args.value_impl,
+        tc=args.tc,
     )
     trainer = TDTrainer(cfg)
     state = trainer.init_state()

@@ -112,6 +112,34 @@ class TestMXUPaths:
         )
         np.testing.assert_allclose(v_mxu, v_ref, rtol=1e-5, atol=1e-2)
 
+    def test_split_table_exact_inside_jit(self):
+        """Regression: split_table must round with lax.reduce_precision.
+        An astype(bf16)/astype(f32) round-trip is folded away by XLA
+        inside jit (xla_allow_excess_precision), silently zeroing the lo
+        half — the split mode then returns plain-bf16 values while paying
+        for the correction matmul (caught on-chip: bit-identical training
+        between the 'mxu' and 'mxu_bf16' modes)."""
+        rng = np.random.default_rng(9)
+        table = jnp.asarray(
+            (rng.normal(size=17 * ntuple.TABLE_SIZE) * 1000).astype(
+                np.float32
+            )
+        )
+        boards = jnp.asarray(rng.integers(0, 13, size=(64, 4, 4)), jnp.int8)
+
+        @jax.jit
+        def v_split_inside(table, boards):
+            t_hi, t_lo = ntuple.split_table(table)
+            return ntuple.value_batch_mxu(t_hi, t_lo, boards)
+
+        # the split halves must actually sum to the table (lo nonzero)...
+        t_hi, t_lo = jax.jit(ntuple.split_table)(table)
+        assert float(jnp.abs(t_lo.astype(jnp.float32)).max()) > 0.0
+        # ...and the inside-jit split lookup must match the f32 gather
+        v_ref = np.asarray(ntuple.value_batch(table, boards))
+        v = np.asarray(v_split_inside(table, boards))
+        np.testing.assert_allclose(v, v_ref, rtol=1e-4, atol=1e-2)
+
     def test_td_update_mxu_matches_scatter(self):
         rng = np.random.default_rng(2)
         boards = jnp.asarray(rng.integers(0, 12, size=(48, 4, 4)), jnp.int8)
