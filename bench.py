@@ -134,7 +134,7 @@ def bench_td() -> float:
     b, steps = 8192, 64
     cfg = td.TDConfig(
         total_steps=b * steps, n_envs=b, chunk_steps=steps,
-        update_impl="mxu", value_impl="mxu_bf16",  # the training default
+        update_impl="mxu", value_impl="mxu",  # the quality-default config
     )
     tr = td.TDTrainer(cfg)
     state = tr.init_state()

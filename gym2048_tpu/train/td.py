@@ -50,9 +50,9 @@ class TDConfig:
     # "mxu" (split-bf16 one-hot matmuls, exact to ~2^-16 — XLA:TPU gather
     # sustains only ~135M idx/s and left the chunk gather-bound),
     # "mxu_bf16" (single-pass bf16 lookup: ~0.4% value noise, half the
-    # value FLOPs — measured equal training quality at 150M and 1B steps,
-    # docs/PERF.md), or "auto" (mxu_bf16 on TPU for training throughput,
-    # gather elsewhere; evaluation keeps exact values — see play_greedy).
+    # value FLOPs, 966k vs 622k steps/s — but measured ~2k eval score
+    # below exact-split TC training at 150M steps, docs/PERF.md), or
+    # "auto" (exact "mxu" on TPU, gather elsewhere).
     value_impl: str = "auto"
     # temporal-coherence learning (Beal & Smith): per-entry adaptive rates
     # |sum(deltas)| / sum(|deltas|) replace the global alpha anneal — set
@@ -137,7 +137,7 @@ class TDTrainer:
         )
         vimpl = self.cfg.value_impl
         if vimpl == "auto":
-            vimpl = "mxu_bf16" if on_tpu else "gather"
+            vimpl = "mxu" if on_tpu else "gather"
         assert vimpl in ("gather", "mxu", "mxu_bf16"), vimpl
         self._value_impl = vimpl
 
