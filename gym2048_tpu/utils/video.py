@@ -18,9 +18,15 @@ def record_episode_gif(
     seed: int | None = None,
     max_steps: int = 2000,
     fps: int = 4,
+    frame_stride: int = 1,
 ) -> dict:
     """Play one episode with ``choose_action_fn(observation) -> int`` and
-    save the board frames as a GIF. Returns episode stats."""
+    save the board frames as a GIF. Returns episode stats.
+
+    ``frame_stride`` keeps every N-th frame (plus the final one) — strong
+    agents play many thousands of moves and a full-rate GIF would be
+    enormous.
+    """
     from PIL import Image
 
     from gym2048_tpu.env import adapter
@@ -35,7 +41,8 @@ def record_episode_gif(
         obs, reward, terminated, truncated, info = env.step(int(action))
         total_reward += reward
         steps += 1
-        frames.append(Image.fromarray(env.render(mode="rgb_array")))
+        if steps % frame_stride == 0 or terminated or truncated:
+            frames.append(Image.fromarray(env.render(mode="rgb_array")))
         if terminated or truncated:
             break
     path = Path(path)
