@@ -75,14 +75,55 @@ _OFFSET = np.asarray(
 
 N_FEATURES = 8 * N_TUPLES  # gathers per board
 
+# Multi-stage tables (Jaskowski 2016, arXiv:1604.05085 "multi-stage weight
+# promotion"): the value function is a SEPARATE table per game stage, where
+# the stage of a board is how many of the static ``thresholds`` (max-tile
+# exponents) it has reached — e.g. thresholds (11, 12) give three stages:
+# before the first 2048 tile, between 2048 and 4096, and from 4096 on. The
+# max tile never decreases within an episode, so the stage is a pure
+# function of the board and lookups/updates stay stateless. Stage tables
+# are stage-major in the flat array: ``table[stage * STAGE_STRIDE + ...]``.
+STAGE_STRIDE = N_TUPLES * TABLE_SIZE
 
-def init_table(value: float = 0.0) -> jax.Array:
-    """Flat weight table ``(17 * 83521,)`` f32.
+
+def init_table(value: float = 0.0, n_stages: int = 1) -> jax.Array:
+    """Flat weight table ``(n_stages * 17 * 83521,)`` f32.
 
     A small optimistic initial value encourages early exploration
     (Szubert & Jaskowski initialise optimistically); 0.0 is neutral.
     """
-    return jnp.full((N_TUPLES * TABLE_SIZE,), value, jnp.float32)
+    return jnp.full((n_stages * STAGE_STRIDE,), value, jnp.float32)
+
+
+def n_stages_of(table: jax.Array) -> int:
+    """Number of stages a flat table holds (its size / one stage's size)."""
+    n, rem = divmod(table.shape[-1] if table.ndim else table.size,
+                    STAGE_STRIDE)
+    assert rem == 0 and n >= 1, f"not a stage-multiple table: {table.shape}"
+    return n
+
+
+def promote_table(table: jax.Array, n_stages: int) -> jax.Array:
+    """Weight promotion (arXiv:1604.05085 §weight promotion): seed every
+    stage of a fresh ``n_stages``-stage table with an already-trained
+    single-stage table, so later stages start from the shared value
+    function and specialise from there instead of learning late-game play
+    from zero on the rare data that reaches them."""
+    assert n_stages_of(table) == 1, "promote from a single-stage table"
+    return jnp.tile(table, n_stages)
+
+
+def stage_of_batch(
+    boards: jax.Array, thresholds: tuple[int, ...]
+) -> jax.Array:
+    """Stage index ``(B,)`` int32 of each board: the number of static
+    max-tile-exponent ``thresholds`` the board's highest tile has reached
+    (0 when ``thresholds`` is empty — the single-stage case)."""
+    m = boards.reshape(boards.shape[0], 16).max(-1).astype(jnp.int32)
+    s = jnp.zeros_like(m)
+    for t in thresholds:
+        s = s + (m >= t).astype(jnp.int32)
+    return s
 
 
 def local_indices(board: jax.Array) -> jax.Array:
@@ -99,27 +140,50 @@ def feature_indices(board: jax.Array) -> jax.Array:
     return (local_indices(board) + _OFFSET).reshape(-1)  # (136,)
 
 
-def value(table: jax.Array, board: jax.Array) -> jax.Array:
-    """Value of one board: mean over the 8 symmetries of the tuple sums."""
-    return table[feature_indices(board)].sum() / 8.0
+def value(
+    table: jax.Array,
+    board: jax.Array,
+    thresholds: tuple[int, ...] = (),
+) -> jax.Array:
+    """Value of one board: mean over the 8 symmetries of the tuple sums.
+
+    With ``thresholds`` the lookup goes to the board's stage table (see
+    :data:`STAGE_STRIDE`)."""
+    idx = feature_indices(board)
+    if thresholds:
+        idx = idx + stage_of_batch(board[None], thresholds)[0] * STAGE_STRIDE
+    return table[idx].sum() / 8.0
 
 
-def value_batch(table: jax.Array, boards: jax.Array) -> jax.Array:
+def value_batch(
+    table: jax.Array,
+    boards: jax.Array,
+    thresholds: tuple[int, ...] = (),
+) -> jax.Array:
     """Values of ``(B, 4, 4)`` boards — one batched gather."""
-    return jax.vmap(lambda b: value(table, b))(boards)
+    return jax.vmap(lambda b: value(table, b, thresholds))(boards)
 
 
 def split_table(table: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Split the f32 table into a bf16 (hi, lo) pair shaped for the MXU.
 
     ``hi + lo == table`` to ~2^-16 relative (lo holds the next 8 mantissa
-    bits), laid out ``(17, _HI, 128)`` with the 63-entry tail of each
-    sub-table zero-padded. Recomputing the split is two elementwise passes
-    over 5.7 MB — negligible per training step.
+    bits), laid out ``(17, S*_HI, 128)`` — for an ``S``-stage table, each
+    tuple's rows hold its ``S`` stage sub-tables back to back, so a staged
+    lookup is the same one-hot contraction with the row index offset by
+    ``stage * _HI`` — with the 63-entry tail of each sub-table zero-padded.
+    Recomputing the split is two elementwise passes over ``S`` x 5.7 MB —
+    negligible per training step.
     """
-    t = table.reshape(N_TUPLES, TABLE_SIZE)
+    s = n_stages_of(table)
+    t = table.reshape(s * N_TUPLES, TABLE_SIZE)
     pad = _HI * _LANES - TABLE_SIZE
-    t = jnp.pad(t, ((0, 0), (0, pad))).reshape(N_TUPLES, _HI, _LANES)
+    t = (
+        jnp.pad(t, ((0, 0), (0, pad)))
+        .reshape(s, N_TUPLES, _HI, _LANES)
+        .transpose(1, 0, 2, 3)
+        .reshape(N_TUPLES, s * _HI, _LANES)
+    )
     dt = _mxu_dtype()
     # The rounding must be reduce_precision, NOT astype(bf16).astype(f32):
     # inside a jit XLA folds the f32->bf16->f32 convert pair away
@@ -140,6 +204,7 @@ def value_batch_mxu(
     t_lo: jax.Array | None,
     boards: jax.Array,
     chunk: int = 4096,
+    thresholds: tuple[int, ...] = (),
 ) -> jax.Array:
     """:func:`value_batch` computed on the MXU instead of XLA gather.
 
@@ -156,7 +221,16 @@ def value_batch_mxu(
     Pass ``t_lo=None`` to skip the correction pass (plain bf16 lookup,
     ~0.4% relative value noise, half the FLOPs — the ``mxu_bf16`` value
     mode; training quality measured equal, docs/PERF.md).
+
+    For an ``S``-stage table pass the same static ``thresholds`` the table
+    was trained with: the board's stage offsets the one-hot row index by
+    ``stage * _HI`` into the :func:`split_table` layout (the contraction
+    width grows ``S``-fold — the only cost of staging the lookup).
     """
+    n_hi = t_hi.shape[1]
+    assert n_hi == (len(thresholds) + 1) * _HI, (
+        f"table has {n_hi // _HI} stages but thresholds={thresholds!r}"
+    )
     n = boards.shape[0]
     cb = max(1, min(chunk // 8, n))  # boards per chunk (8 lookups each)
     pad = (-n) % cb
@@ -166,11 +240,16 @@ def value_batch_mxu(
     flat_c = flat.reshape(-1, cb, 16)
 
     def body(_, bc):
-        ic = local_indices_batch(bc.reshape(cb, 4, 4))  # (cb, 8, 17)
+        bc = bc.reshape(cb, 4, 4)
+        ic = local_indices_batch(bc)  # (cb, 8, 17)
         ic = ic.reshape(cb * 8, N_TUPLES)
         hi = ic // _LANES
         lo = ic % _LANES
-        oh_hi = jax.nn.one_hot(hi, _HI, dtype=_mxu_dtype())  # (C, 17, _HI)
+        if thresholds:
+            st = stage_of_batch(bc, thresholds)  # (cb,)
+            st = jnp.broadcast_to(st[:, None], (cb, 8)).reshape(-1)
+            hi = hi + st[:, None] * _HI
+        oh_hi = jax.nn.one_hot(hi, n_hi, dtype=_mxu_dtype())  # (C, 17, S*_HI)
         oh_lo = jax.nn.one_hot(lo, _LANES, dtype=jnp.float32)
         rows = jnp.einsum(
             "cth,thl->ctl", oh_hi, t_hi,
