@@ -122,6 +122,47 @@ class Transition:
     ep_len: jax.Array   # (B,) int32 — episode length incl. this step
 
 
+def ppo_loss_terms(
+    logits: jax.Array,
+    value: jax.Array,
+    action: jax.Array,
+    old_logprob: jax.Array,
+    adv: jax.Array,
+    ret: jax.Array,
+    clip_coef: float,
+):
+    """Pure PPO loss math on raw policy outputs (SB3 semantics as mirrored
+    from the reference's delegation, ppo_train.py:138-156): per-minibatch
+    advantage normalisation, clipped surrogate, value MSE, and the entropy
+    of the (possibly masked) categorical distribution.
+
+    Separated from the model application so golden-value tests can pin
+    every constant and scan direction against hand-computed fixtures
+    (tests/test_ppo_golden.py). Returns ``(policy_loss, value_loss,
+    entropy, approx_kl, clip_frac)``.
+    """
+    log_probs = jax.nn.log_softmax(logits)
+    logprob = jnp.take_along_axis(log_probs, action[:, None], axis=-1)[:, 0]
+    ratio = jnp.exp(logprob - old_logprob)
+
+    adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+    pg1 = ratio * adv
+    pg2 = jnp.clip(ratio, 1 - clip_coef, 1 + clip_coef) * adv
+    policy_loss = -jnp.minimum(pg1, pg2).mean()
+
+    value_loss = jnp.mean((value - ret) ** 2)
+    # entropy over the (possibly masked) distribution; guard the
+    # p * log p = 0 * -1e9 products of masked actions
+    probs = jnp.exp(log_probs)
+    plogp = jnp.where(probs > 1e-12, probs * log_probs, 0.0)
+    entropy = -plogp.sum(-1).mean()
+
+    approx_kl = ((ratio - 1.0) - jnp.log(ratio)).mean()
+    clip_frac = (jnp.abs(ratio - 1.0) > clip_coef).mean()
+    return policy_loss, value_loss, entropy, approx_kl, clip_frac
+
+
 class PPO:
     """PPO trainer. Construct, then ``state = init_state(key)`` and loop
     ``state, metrics = train_iteration(state)`` (jitted), or call
@@ -240,33 +281,18 @@ class PPO:
 
             _, _, legal = jax.vmap(rules.move_all)(mb.board)
             logits = jnp.where(legal, logits, -1e9)
-        log_probs = jax.nn.log_softmax(logits)
-        logprob = jnp.take_along_axis(
-            log_probs, mb.action[:, None], axis=-1
-        )[:, 0]
-        ratio = jnp.exp(logprob - mb.logprob)
-
-        adv = mb.adv
-        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
-
-        pg1 = ratio * adv
-        pg2 = jnp.clip(ratio, 1 - cfg.clip_coef, 1 + cfg.clip_coef) * adv
-        policy_loss = -jnp.minimum(pg1, pg2).mean()
-
-        value_loss = jnp.mean((value - mb.ret) ** 2)
-        # entropy over the (possibly masked) distribution; guard the
-        # p * log p = 0 * -1e9 products of masked actions
-        probs = jnp.exp(log_probs)
-        plogp = jnp.where(probs > 1e-12, probs * log_probs, 0.0)
-        entropy = -plogp.sum(-1).mean()
+        policy_loss, value_loss, entropy, approx_kl, clip_frac = (
+            ppo_loss_terms(
+                logits, value, mb.action, mb.logprob, mb.adv, mb.ret,
+                cfg.clip_coef,
+            )
+        )
 
         loss = (
             policy_loss
             - cfg.ent_coef * entropy
             + cfg.vf_coef * value_loss
         )
-        approx_kl = ((ratio - 1.0) - jnp.log(ratio)).mean()
-        clip_frac = (jnp.abs(ratio - 1.0) > cfg.clip_coef).mean()
         aux = {
             "batch_stats": mutated["batch_stats"],
             "policy_loss": policy_loss,

@@ -58,6 +58,18 @@ class TDConfig:
     # |sum(deltas)| / sum(|deltas|) replace the global alpha anneal — set
     # alpha = alpha_final = 1.0 (the meta-rate) when enabling.
     tc: bool = False
+    # network architecture: "small" is the VMEM-sized 17x4-cell net of
+    # models/ntuple.py (MXU dense scatter/gather); any other name is an
+    # HBM-scale layout from models/ntuple_big.LAYOUTS ("4x6", "5x6",
+    # "4x6_4x4" — the literature's 6-tuple architectures, 67M-84M weights)
+    # using bounded XLA gather/scatter (update_impl/value_impl ignored).
+    arch: str = "small"
+    # exponent domain per cell of the big-net tables (board exponents clip
+    # to n_vals - 1; 16 covers tiles through 32768)
+    n_vals: int = 16
+    # multi-stage table thresholds (max-tile exponents, arXiv:1604.05085),
+    # e.g. (11, 12) = separate tables before 2048 / 2048..4095 / from 4096
+    thresholds: tuple[int, ...] = ()
 
 
 def _fresh_boards(key: jax.Array, n: int) -> jax.Array:
@@ -124,6 +136,18 @@ class TDTrainer:
 
     def __init__(self, config: TDConfig | None = None):
         self.cfg = config or TDConfig()
+        self._net = None
+        if self.cfg.arch != "small":
+            from gym2048_tpu.models import ntuple_big
+
+            self._net = ntuple_big.make_network(
+                self.cfg.arch, self.cfg.n_vals, self.cfg.thresholds
+            )
+            return  # big nets use their own gather/scatter paths
+        assert not self.cfg.thresholds, (
+            "staged training is configured via promote_table for the small "
+            "net; thresholds apply to big-net archs"
+        )
         on_tpu = jax.default_backend() == "tpu"
         impl = self.cfg.update_impl
         if impl == "auto":
@@ -146,8 +170,11 @@ class TDTrainer:
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         key, k0 = jax.random.split(key)
-        # per-entry x gives value(board) = 136x/8 = 17x ~= init_value
-        table = ntuple.init_table(cfg.init_value / ntuple.N_TUPLES)
+        if self._net is not None:
+            table = self._net.init_table(cfg.init_value)
+        else:
+            # per-entry x gives value(board) = 136x/8 = 17x ~= init_value
+            table = ntuple.init_table(cfg.init_value / ntuple.N_TUPLES)
         boards = _fresh_boards(k0, cfg.n_envs)
         state = {
             "table": table,
@@ -183,7 +210,9 @@ class TDTrainer:
             boards, score = carry["boards"], carry["score"]
             key, kv, kp, kr = jax.random.split(carry["key"], 4)
 
-            if self._value_impl.startswith("mxu"):
+            if self._net is not None:
+                value_fn = self._net.make_value_fn(table)
+            elif self._value_impl.startswith("mxu"):
                 t_hi, t_lo = ntuple.split_table(table)
                 if self._value_impl == "mxu_bf16":
                     t_lo = None
@@ -200,13 +229,21 @@ class TDTrainer:
             target = jnp.where(alive, r + v_after, 0.0)
             delta = target - carry["prev_v"]
             new = dict(carry)
+            update_tc = (
+                self._net.td_update_tc if self._net is not None
+                else self._td_update_tc
+            )
+            update_td = (
+                self._net.td_update if self._net is not None
+                else self._td_update
+            )
             if cfg.tc:
-                new["table"], new["tc_e"], new["tc_a"] = self._td_update_tc(
+                new["table"], new["tc_e"], new["tc_a"] = update_tc(
                     table, carry["tc_e"], carry["tc_a"], carry["prev_after"],
                     delta, alpha, valid=carry["prev_valid"],
                 )
             else:
-                new["table"] = self._td_update(
+                new["table"] = update_td(
                     table, carry["prev_after"], delta, alpha,
                     valid=carry["prev_valid"],
                 )
@@ -324,24 +361,32 @@ def play_greedy(
     key: jax.Array | None = None,
     move_cap: int = 30000,
     value_impl: str = "auto",
+    net=None,
 ) -> dict:
     """Play full games with the greedy afterstate policy (evaluation).
 
     ``value_impl`` defaults to the EXACT paths (split-bf16 "mxu" on TPU,
     gather elsewhere) — evaluation scores should never carry lookup noise
-    even though training defaults to the cheaper "mxu_bf16".
+    even though training defaults to the cheaper "mxu_bf16". Pass ``net``
+    (an :class:`~gym2048_tpu.models.ntuple_big.NTupleNetwork`) to evaluate
+    a big-net table; ``value_impl`` is then ignored.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    if value_impl == "auto":
-        value_impl = "mxu" if jax.default_backend() == "tpu" else "gather"
-    if value_impl.startswith("mxu"):
-        t_hi, t_lo = ntuple.split_table(table)
-        if value_impl == "mxu_bf16":
-            t_lo = None
-        value_fn = lambda bs: ntuple.value_batch_mxu(t_hi, t_lo, bs)
+    if net is not None:
+        value_fn = net.make_value_fn(table)
     else:
-        value_fn = lambda bs: ntuple.value_batch(table, bs)
+        if value_impl == "auto":
+            value_impl = (
+                "mxu" if jax.default_backend() == "tpu" else "gather"
+            )
+        if value_impl.startswith("mxu"):
+            t_hi, t_lo = ntuple.split_table(table)
+            if value_impl == "mxu_bf16":
+                t_lo = None
+            value_fn = lambda bs: ntuple.value_batch_mxu(t_hi, t_lo, bs)
+        else:
+            value_fn = lambda bs: ntuple.value_batch(table, bs)
 
     @jax.jit
     def run(key):
@@ -428,6 +473,19 @@ def main(argv: list[str] | None = None) -> None:
         "half the lookup FLOPs",
     )
     p.add_argument(
+        "--arch", default="small",
+        help='network architecture: "small" (17x4-cell, MXU paths) or an '
+        "HBM layout from models/ntuple_big.LAYOUTS (4x6, 5x6, 4x6_4x4)",
+    )
+    p.add_argument(
+        "--n-vals", type=int, default=TDConfig.n_vals,
+        help="big-net exponent domain per cell (clip above)",
+    )
+    p.add_argument(
+        "--thresholds", type=int, nargs="*", default=[],
+        help="big-net multi-stage max-tile exponent thresholds, e.g. 11 12",
+    )
+    p.add_argument(
         "--tc", action="store_true",
         help="temporal-coherence per-entry adaptive rates (set --alpha "
         "and --alpha-final to the meta-rate, typically 1.0); the TC "
@@ -443,7 +501,8 @@ def main(argv: list[str] | None = None) -> None:
         alpha_final=args.alpha_final, init_value=args.init_value,
         seed=args.seed, chunk_steps=args.chunk_steps,
         update_impl=args.update_impl, value_impl=args.value_impl,
-        tc=args.tc,
+        tc=args.tc, arch=args.arch, n_vals=args.n_vals,
+        thresholds=tuple(args.thresholds),
     )
     trainer = TDTrainer(cfg)
     state = trainer.init_state()
@@ -457,7 +516,8 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     ev = play_greedy(
-        state["table"], args.eval_episodes, jax.random.PRNGKey(args.seed + 1)
+        state["table"], args.eval_episodes,
+        jax.random.PRNGKey(args.seed + 1), net=trainer._net,
     )
     dist = collections.Counter(e["highest"] for e in ev["Episodes"])
     print(

@@ -1,0 +1,98 @@
+"""Multi-process jax.distributed worker (driven by test_multiprocess.py).
+
+Each worker is a REAL separate JAX process: its own runtime, its own Gloo
+collectives, coordinated through ``gym2048_tpu.parallel.init_distributed``
+— the genuine multi-host code path (SURVEY.md §4's N>=2-hosts point), not
+the single-process ``--xla_force_host_platform_device_count`` fake the rest
+of the suite uses. Runs one PPO train iteration and one TD chunk over a
+process-spanning mesh and writes a JSON fingerprint; the parent test
+asserts losses are finite and replicated parameters are BIT-IDENTICAL
+across processes.
+
+Usage: python multiproc_worker.py <pid> <nproc> <port> <outdir>
+"""
+
+import hashlib
+import json
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    # 2 local CPU devices per process -> a 2*nproc-device global mesh
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=2"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from gym2048_tpu.parallel import init_distributed
+
+    # the component under test: parallel/mesh.py init_distributed main line
+    init_distributed(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+        cluster_detection_method="deactivate",
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+    import numpy as np
+
+    from gym2048_tpu.parallel import make_mesh, shard_train_state
+    from gym2048_tpu.train import td
+    from gym2048_tpu.train.ppo import PPO, PPOConfig
+
+    mesh = make_mesh()  # spans all processes
+    n_dev = 2 * nproc
+    result = {"pid": pid, "n_devices": n_dev}
+
+    def md5_tree(tree) -> str:
+        h = hashlib.md5()
+        for leaf in jax.tree.leaves(tree):
+            # replicated leaves are fully addressable on every process
+            h.update(np.asarray(leaf).tobytes())
+        return h.hexdigest()
+
+    # --- TD: one sharded chunk (cheap compile; always run) ---------------
+    td_cfg = td.TDConfig(
+        total_steps=64 * 8, n_envs=8 * n_dev, chunk_steps=8,
+        update_impl="scatter", value_impl="gather",
+    )
+    tr = td.TDTrainer(td_cfg)
+    state = td.shard_td_state(tr.init_state(), mesh)
+    state, metrics = tr.train_chunk(state, jax.numpy.float32(0.1))
+    result["td_ep_score"] = float(metrics["ep_score_mean"])
+    result["td_table_md5"] = md5_tree(state["table"])
+
+    # --- PPO: one sharded train iteration (skippable for the cheap run) --
+    if os.environ.get("MP_WORKER_PPO", "1") == "1":
+        cfg = PPOConfig(
+            total_timesteps=2048, n_envs=8 * n_dev, n_steps=8,
+            batch_size=16 * n_dev, n_epochs=1, filters=8, residual_blocks=1,
+            shuffle_mode="sharded",
+        )
+        ppo = PPO(cfg)
+        pstate = shard_train_state(ppo.init_state(jax.random.PRNGKey(0)),
+                                   mesh)
+        pstate, pmetrics = ppo.train_iteration(pstate)
+        jax.block_until_ready(pstate)
+        result["ppo_loss"] = float(pmetrics["loss"])
+        result["ppo_params_md5"] = md5_tree(pstate.params)
+
+    with open(os.path.join(outdir, f"out_{pid}.json"), "w") as f:
+        json.dump(result, f)
+    print(f"worker {pid} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
