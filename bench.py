@@ -149,11 +149,54 @@ def bench_td() -> float:
     return b * steps / best
 
 
+def bench_ppo(reference_shape: bool) -> float:
+    """PPO env-steps/s through one full train_iteration (rollout + update).
+
+    ``reference_shape`` times the exact reference/SB3 config (8 envs x 2048
+    steps, batch 256, 4 epochs, f32 — ppo_train.py:195-233 defaults);
+    otherwise the TPU production shape (4096 envs x 128 steps, batch 16k,
+    bf16 compute — docs/PERF.md's 60%-MFU configuration).
+    """
+    import numpy as np
+
+    from gym2048_tpu.train import PPO, PPOConfig
+
+    if reference_shape:
+        cfg = PPOConfig(total_timesteps=10**9)
+    else:
+        cfg = PPOConfig(
+            total_timesteps=10**9, n_envs=4096, n_steps=128,
+            batch_size=16384, compute_dtype=jnp.bfloat16,
+            shuffle_mode="sharded",
+        )
+    ppo = PPO(cfg)
+    state = ppo.init_state(jax.random.PRNGKey(0))
+    state, metrics = ppo.train_iteration(state)  # compile + warm
+    float(np.asarray(metrics["loss"]))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state, metrics = ppo.train_iteration(state)
+        float(np.asarray(metrics["loss"]))  # host sync
+        best = min(best, time.perf_counter() - t0)
+    return cfg.rollout_size / best
+
+
+# Sanity floors for the PPO bench on real TPU hardware (round-2 measured
+# 385k-561k steps/s at the production shape; the reference shape is
+# dominated by its tiny 8-env rollout). A regression below these means the
+# flagship training loop broke, so the bench FAILS.
+PPO_PROD_FLOOR = 100_000
+PPO_REF_FLOOR = 2_000
+
+
 def main() -> int:
     on_tpu = jax.devices()[0].platform != "cpu"
     xla_rate, ratio = bench_xla()
     pallas_rate = bench_pallas() if on_tpu else None
     td_rate = bench_td() if on_tpu else None
+    ppo_prod_rate = bench_ppo(reference_shape=False) if on_tpu else None
+    ppo_ref_rate = bench_ppo(reference_shape=True) if on_tpu else None
     headline = pallas_rate if pallas_rate else xla_rate
     ratio_ok = RATIO_MIN <= ratio <= RATIO_MAX
     print(
@@ -174,6 +217,12 @@ def main() -> int:
                     "td_train_steps_per_s": (
                         round(td_rate) if td_rate else None
                     ),
+                    "ppo_steps_per_s": (
+                        round(ppo_prod_rate) if ppo_prod_rate else None
+                    ),
+                    "ppo_steps_per_s_reference_config": (
+                        round(ppo_ref_rate) if ppo_ref_rate else None
+                    ),
                     "xla_scaling_check_ratio": round(ratio, 3),
                     "scaling_check_ok": ratio_ok,
                     "device": str(jax.devices()[0]),
@@ -186,6 +235,20 @@ def main() -> int:
             f"FAIL: scaling ratio {ratio:.3f} outside "
             f"[{RATIO_MIN}, {RATIO_MAX}] — timing is not measuring real "
             f"device execution",
+            file=sys.stderr,
+        )
+        return 1
+    if ppo_prod_rate is not None and ppo_prod_rate < PPO_PROD_FLOOR:
+        print(
+            f"FAIL: ppo_steps_per_s {ppo_prod_rate:.0f} below sanity "
+            f"floor {PPO_PROD_FLOOR} — flagship PPO loop regressed",
+            file=sys.stderr,
+        )
+        return 1
+    if ppo_ref_rate is not None and ppo_ref_rate < PPO_REF_FLOOR:
+        print(
+            f"FAIL: ppo_steps_per_s_reference_config {ppo_ref_rate:.0f} "
+            f"below sanity floor {PPO_REF_FLOOR}",
             file=sys.stderr,
         )
         return 1

@@ -223,10 +223,80 @@ def make_policy(
     return policy
 
 
+def _afterstate_search(
+    value_fn, boards: jax.Array, plies: int, beam: bool = False
+) -> jax.Array:
+    """Afterstate-expectimax Q-values ``(B, 4)`` at ``plies`` move levels.
+
+    ``plies`` counts moves along a branch before ``V`` is read at the last
+    afterstate: 1 = ``r + V(after)`` (greedy TD), each further ply inserts
+    a spawn expectation and a max over next moves. Dead spawn children take
+    the Bellman terminal value 0 (score-unit leaves).
+
+    Tree widths per board: 4 afterstates (plies 1), 512 (2), 65,536 (3).
+    At plies >= 3 the first spawn expansion is evaluated with ``lax.map``
+    over its 32 outcomes, so one XLA program only ever materialises a
+    ``B*2048``-board value batch — bounding both memory and the gather
+    sizes that crash the remote TPU worker (CLAUDE.md gotcha), while each
+    map step still feeds the value path a large contraction.
+
+    ``beam`` enables greedy forward pruning at the pre-leaf max level: at
+    ``plies == 2`` only the move that wins the SHALLOW backup
+    ``r + V(after)`` is expanded through its spawn expectation; the other
+    moves keep their shallow values in the max. Chance nodes stay
+    full-width, so the expectation itself is never approximated — only
+    which interior max-branch gets deepened. This cuts depth-3 from 65,536
+    to ~17k leaf evals per board (4 + 32x(4 + 4 + 32x4)), the difference
+    between full-game depth-3 evaluation finishing in minutes vs hours
+    (docs/PERF.md), at a quality cost bounded by how often the deepened
+    value re-orders against a shallow sibling.
+    """
+    b = boards.shape[0]
+    moved, scores, legal = jax.vmap(rules.move_all)(boards)
+    scores = scores.astype(jnp.float32)
+    if plies == 1:
+        v = value_fn(moved.reshape(b * 4, 4, 4)).reshape(b, 4)
+        return jnp.where(legal, scores + v, _NEG)
+
+    def child_state_values(ch: jax.Array) -> jax.Array:
+        q = _afterstate_search(value_fn, ch, plies - 1, beam)
+        return jnp.where((q > _NEG / 2).any(-1), q.max(-1), 0.0)
+
+    if beam and plies == 2:
+        v1 = value_fn(moved.reshape(b * 4, 4, 4)).reshape(b, 4)
+        q_shallow = jnp.where(legal, scores + v1, _NEG)
+        a = q_shallow.argmax(-1)                      # (b,)
+        rows = jnp.arange(b)
+        best_after = moved[rows, a]                   # (b, 4, 4)
+        children, probs = jax.vmap(spawn_children)(best_after)
+        sv = child_state_values(
+            children.reshape(b * 32, 4, 4)
+        ).reshape(b, 32)
+        q_deep = scores[rows, a] + (sv * probs).sum(-1)
+        return q_shallow.at[rows, a].set(
+            jnp.where(legal[rows, a], q_deep, _NEG)
+        )
+
+    after = moved.reshape(b * 4, 4, 4)
+    children, probs = jax.vmap(spawn_children)(after)  # (b*4,32,..), (b*4,32)
+    if plies >= 3:
+        sv = jax.lax.map(
+            child_state_values, children.transpose(1, 0, 2, 3)
+        ).T  # (b*4, 32)
+    else:
+        sv = child_state_values(
+            children.reshape(b * 4 * 32, 4, 4)
+        ).reshape(b * 4, 32)
+    ev = (sv * probs).sum(-1).reshape(b, 4)
+    return jnp.where(legal, scores + ev, _NEG)
+
+
 def make_afterstate_policy(
-    value_fn: Callable[[jax.Array], jax.Array],
+    value_fn: Callable[..., jax.Array],
     depth: int = 2,
-) -> Callable[[jax.Array], jax.Array]:
+    parametrised: bool = False,
+    beam: bool = False,
+) -> Callable[..., jax.Array]:
     """Expectimax over an *afterstate* value function (Szubert & Jaskowski
     2014's search formulation) — the right amplifier for the TD n-tuple
     table, whose values are trained on afterstates.
@@ -242,46 +312,48 @@ def make_afterstate_policy(
 
     depth=1: ``argmax_a [r + V(after(s, a))]`` — exactly the greedy TD
     policy. depth=2: ``argmax_a [r1 + E_spawn[max_a' (r2 + V(after2))]]``
-    with Bellman terminal value 0 for dead spawn children. Leaf evals per
-    board per move: 4 (depth 1), 512 (depth 2) — all evaluated in ONE
-    ``value_fn`` call, so the MXU lookup path sees large contractions and
-    nothing generates the giant per-leaf gathers that crash the remote TPU
-    worker (CLAUDE.md gotcha).
+    with Bellman terminal value 0 for dead spawn children; depth=3 adds one
+    more spawn/max level (see :func:`_afterstate_search` for how its 65k
+    leaves per board stay within bounded sub-programs). Leaf evals per
+    board per move — 4 / 512 / 65,536 — are batched into at most 32
+    ``value_fn`` calls, so the lookup path always sees large contractions.
+
+    ``parametrised=True`` changes the signatures to
+    ``value_fn(params, boards)`` / ``policy(params, boards)``: REQUIRED for
+    HBM-scale tables (models/ntuple_big), which must enter the jitted game
+    loop as device-buffer ARGUMENTS — a value function that closes over a
+    multi-hundred-MB table embeds it as an HLO constant, and the remote
+    TPU compile request then fails with HTTP 413 (observed with the 268 MB
+    4x6 table). Pair with ``play_policy(..., params=table)``.
+
+    ``beam=True`` (depth 3 only) prunes the pre-leaf max level to the
+    shallow-best move — ~4x fewer leaf evals, chance nodes stay exact;
+    see :func:`_afterstate_search`.
     """
-    assert depth in (1, 2), "afterstate search supports depth 1 or 2"
+    assert depth in (1, 2, 3), "afterstate search supports depth 1, 2 or 3"
 
-    def policy(boards: jax.Array) -> jax.Array:
-        b = boards.shape[0]
-        moved1, scores1, legal1 = jax.vmap(rules.move_all)(boards)
-        if depth == 1:
-            v1 = value_fn(moved1.reshape(b * 4, 4, 4)).reshape(b, 4)
-            q1 = jnp.where(legal1, scores1.astype(jnp.float32) + v1, _NEG)
-            return q1.argmax(-1).astype(jnp.int32)
-
-        after1 = moved1.reshape(b * 4, 4, 4)
-        children, probs = jax.vmap(spawn_children)(after1)
-        ch = children.reshape(b * 4 * 32, 4, 4)
-        moved2, scores2, legal2 = jax.vmap(rules.move_all)(ch)
-        v2 = value_fn(moved2.reshape(-1, 4, 4)).reshape(b * 128, 4)
-        q2 = jnp.where(legal2, scores2.astype(jnp.float32) + v2, _NEG)
-        # state value of each spawn child: best Bellman backup, or the
-        # terminal value 0 when no move exists (score-unit leaf)
-        sv = jnp.where(legal2.any(-1), q2.max(-1), 0.0)
-        ev = (sv.reshape(b * 4, 32) * probs.reshape(b * 4, 32)).sum(-1)
-        q1 = jnp.where(
-            legal1, scores1.astype(jnp.float32) + ev.reshape(b, 4), _NEG
-        )
-        return q1.argmax(-1).astype(jnp.int32)
+    if parametrised:
+        def policy(params, boards: jax.Array) -> jax.Array:
+            q = _afterstate_search(
+                lambda bs: value_fn(params, bs), boards, depth, beam
+            )
+            return q.argmax(-1).astype(jnp.int32)
+    else:
+        def policy(boards: jax.Array) -> jax.Array:
+            return _afterstate_search(
+                value_fn, boards, depth, beam
+            ).argmax(-1).astype(jnp.int32)
 
     return policy
 
 
 def play_policy(
-    policy: Callable[[jax.Array], jax.Array],
+    policy: Callable[..., jax.Array],
     episodes: int,
     key: jax.Array | None = None,
     move_cap: int = 20000,
     chunk_moves: int = 128,
+    params=None,
 ) -> dict:
     """Play ``episodes`` full games in lockstep with an arbitrary batched
     policy ``(B, 4, 4) boards -> (B,) actions``.
@@ -294,13 +366,18 @@ def play_policy(
     one scalar host fetch between them are stable and cost only ~20 ms of
     dispatch per chunk. Returns the evaluation dict shape of
     :func:`gym2048_tpu.train.eval.evaluate_batched`.
+
+    ``params``: optional pytree passed through to ``policy(params,
+    boards)`` as a traced ARGUMENT of the jitted chunk. Any large array the
+    policy reads (an n-tuple table, model weights) must come in this way —
+    closed-over arrays are embedded into the program as constants, which
+    the remote-compile transport rejects above ~200 MB (HTTP 413).
     """
     import numpy as np
 
     if key is None:
         key = jax.random.PRNGKey(0)
     cfg = EnvConfig(auto_reset=False)
-    select = policy
 
     @jax.jit
     def init(key):
@@ -311,10 +388,13 @@ def play_policy(
                 jnp.ones(episodes, bool))
 
     @jax.jit
-    def run_chunk(carry):
+    def run_chunk(carry, params):
         def body(c, _):
             state, total, moves, high, active = c
-            action = select(state.board)
+            action = (
+                policy(state.board) if params is None
+                else policy(params, state.board)
+            )
             state, ts = batched.step(state, action, cfg)
             total += jnp.where(active, ts.reward, 0.0)
             moves += active.astype(jnp.int32)
@@ -328,7 +408,7 @@ def play_policy(
     carry = init(key)
     t = 0
     while t < move_cap:
-        carry = run_chunk(carry)
+        carry = run_chunk(carry, params)
         t += chunk_moves
         if not bool(np.asarray(carry[4]).any()):  # host sync per chunk
             break
@@ -387,6 +467,16 @@ def main(argv: list[str] | None = None) -> None:
         "--value-impl", choices=("auto", "gather", "mxu", "mxu_bf16"),
         default="auto",
     )
+    p.add_argument(
+        "--beam", action="store_true",
+        help="depth-3 greedy forward pruning at the pre-leaf max level "
+        "(~4x fewer leaf evals; chance nodes stay exact)",
+    )
+    p.add_argument(
+        "--chunk-moves", type=int, default=128,
+        help="jitted moves per host chunk (lower for deep searches so no "
+        "single device program runs for minutes)",
+    )
     args = p.parse_args(argv)
 
     if args.table:
@@ -395,21 +485,40 @@ def main(argv: list[str] | None = None) -> None:
         from gym2048_tpu.models import ntuple
         from gym2048_tpu.utils.checkpoint import load_model
 
-        variables, _meta = load_model(args.table)
+        variables, meta = load_model(args.table)
         table = jnp.asarray(np.asarray(variables["table"]))
-        vimpl = args.value_impl
-        if vimpl == "auto":
-            vimpl = "mxu" if jax.default_backend() == "tpu" else "gather"
-        if vimpl.startswith("mxu"):
-            t_hi, t_lo = ntuple.split_table(table)
-            if vimpl == "mxu_bf16":
-                t_lo = None
-            value_fn = lambda bs: ntuple.value_batch_mxu(t_hi, t_lo, bs)
+        arch = (meta.get("config") or {}).get("arch", "small")
+        if arch != "small":
+            from gym2048_tpu.models import ntuple_big
+
+            net = ntuple_big.make_network(
+                arch,
+                (meta.get("config") or {}).get("n_vals", 16),
+                tuple((meta.get("config") or {}).get("thresholds", ())),
+            )
+            params = table
+            value_fn = net.value_batch  # (table, boards) -> values
         else:
-            value_fn = lambda bs: ntuple.value_batch(table, bs)
+            vimpl = args.value_impl
+            if vimpl == "auto":
+                vimpl = "mxu" if jax.default_backend() == "tpu" else "gather"
+            if vimpl.startswith("mxu"):
+                t_hi, t_lo = ntuple.split_table(table)
+                if vimpl == "mxu_bf16":
+                    t_lo = None
+                params = (t_hi, t_lo)
+                value_fn = lambda p, bs: ntuple.value_batch_mxu(
+                    p[0], p[1], bs
+                )
+            else:
+                params = table
+                value_fn = lambda t, bs: ntuple.value_batch(t, bs)
         result = play_policy(
-            make_afterstate_policy(value_fn, args.depth),
+            make_afterstate_policy(
+                value_fn, args.depth, parametrised=True, beam=args.beam
+            ),
             args.episodes, jax.random.PRNGKey(args.seed), args.move_cap,
+            chunk_moves=args.chunk_moves, params=params,
         )
     else:
         result = play_batched(

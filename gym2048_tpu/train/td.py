@@ -193,19 +193,17 @@ class TDTrainer:
             state["tc_a"] = jnp.zeros_like(table)
         return state
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_chunk(self, state: dict, alpha: jax.Array):
-        """``cfg.chunk_steps`` TD steps over all envs, one device program.
-
-        One greedy search per step: the TD target for step t-1's afterstate
-        is assembled from step t's greedy result (``r_t + V(after_t)``, or 0
-        if the state is terminal), so each board is searched exactly once
-        per move — a one-step-delayed update with ``prev_v`` one scatter-add
-        stale, the standard tradeoff in batched TD implementations.
+    def _chunk_body(self, alpha):
+        """The per-step scan body, shared by :meth:`train_chunk` (global
+        batch) and :meth:`make_sharded_chunk` (per-device shard inside
+        ``shard_map``). Shape-polymorphic in the env-batch axis: all batch
+        sizes come from ``carry["boards"].shape[0]``, never from the config,
+        so the same body runs on a device-local slice.
         """
         cfg = self.cfg
 
         def body(carry, _):
+            n_envs = carry["boards"].shape[0]
             table = carry["table"]
             boards, score = carry["boards"], carry["score"]
             key, kv, kp, kr = jax.random.split(carry["key"], 4)
@@ -250,8 +248,8 @@ class TDTrainer:
 
             next_state = jax.vmap(rules.spawn)(
                 after,
-                jax.random.uniform(kv, (cfg.n_envs,)),
-                jax.random.uniform(kp, (cfg.n_envs,)),
+                jax.random.uniform(kv, (n_envs,)),
+                jax.random.uniform(kp, (n_envs,)),
             )
 
             # episode bookkeeping: a board resets when it has no legal move
@@ -261,7 +259,7 @@ class TDTrainer:
             done_score = jnp.where(done, score, 0.0).sum()
             highest = boards.max()
 
-            fresh = _fresh_boards(kr, cfg.n_envs)
+            fresh = _fresh_boards(kr, n_envs)
             new["boards"] = jnp.where(done[:, None, None], fresh, next_state)
             new["score"] = jnp.where(done, 0.0, score)
             new["prev_after"] = after
@@ -272,8 +270,21 @@ class TDTrainer:
             stats = (n_done, done_score, highest)
             return new, stats
 
+        return body
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_chunk(self, state: dict, alpha: jax.Array):
+        """``cfg.chunk_steps`` TD steps over all envs, one device program.
+
+        One greedy search per step: the TD target for step t-1's afterstate
+        is assembled from step t's greedy result (``r_t + V(after_t)``, or 0
+        if the state is terminal), so each board is searched exactly once
+        per move — a one-step-delayed update with ``prev_v`` one scatter-add
+        stale, the standard tradeoff in batched TD implementations.
+        """
         new_state, (n_done, done_score, highest) = jax.lax.scan(
-            body, dict(state), None, length=cfg.chunk_steps
+            self._chunk_body(alpha), dict(state), None,
+            length=self.cfg.chunk_steps,
         )
         metrics = {
             "episodes": n_done.sum(),
@@ -282,6 +293,86 @@ class TDTrainer:
             "highest_exp": highest.max().astype(jnp.int32),
         }
         return new_state, metrics
+
+    def make_sharded_chunk(self, mesh):
+        """Chunk-synchronous data-parallel TD over a ``(data, model)`` mesh.
+
+        Running :meth:`train_chunk` directly on sharded state keeps replicas
+        bit-identical but XLA then resolves the scatter into the replicated
+        table as a DENSE per-step all-reduce — 17 MB/step for the small net,
+        ~800 MB/step for a 67M-entry TC big net (measured in HLO,
+        tests/test_td.py::test_sharded_chunk_collective_audits) — which
+        swamps ICI long before the compute does. This builder returns the
+        scalable alternative: a jitted ``fn(state, alpha) -> (state,
+        metrics)`` where each device runs the whole ``chunk_steps`` scan
+        LOCALLY on its board shard against its own table copy, and the
+        accumulated table deltas are summed with ONE psum per chunk
+        (``chunk_steps`` x less traffic; the standard local-learner
+        tradeoff — within a chunk, devices don't see each other's updates).
+
+        Per-device RNG streams are decorrelated by folding the device index
+        into the chunk key; the state key advances identically everywhere,
+        so the returned state keeps the :func:`shard_td_state` layout
+        (batch keys sharded, table/accumulators/key replicated) and chunks
+        can be chained. With a 1-device ``data`` axis the delta/psum merge
+        is skipped entirely and results are bit-identical to
+        :meth:`train_chunk`.
+        """
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from gym2048_tpu.parallel.mesh import DATA_AXIS
+
+        cfg = self.cfg
+        n_data = mesh.shape[DATA_AXIS]
+        assert cfg.n_envs % n_data == 0, (cfg.n_envs, n_data)
+        state_keys = {"table", "boards", "score", "prev_after", "prev_v",
+                      "prev_valid", "key"} | ({"tc_e", "tc_a"} if cfg.tc
+                                              else set())
+
+        def spec(k):
+            return P(DATA_AXIS) if k in _BATCH_KEYS else P()
+
+        in_specs = ({k: spec(k) for k in state_keys}, P())
+        out_specs = ({k: spec(k) for k in state_keys},
+                     {"episodes": P(), "ep_score_mean": P(),
+                      "highest_exp": P()})
+
+        def local_chunk(state, alpha):
+            ref = {k: state[k] for k in ("table", "tc_e", "tc_a")
+                   if k in state}
+            local = dict(state)
+            if n_data > 1:
+                local["key"] = jax.random.fold_in(
+                    state["key"], jax.lax.axis_index(DATA_AXIS)
+                )
+            new, (n_done, done_score, highest) = jax.lax.scan(
+                self._chunk_body(alpha), local, None,
+                length=cfg.chunk_steps,
+            )
+            if n_data > 1:
+                # merge the chunk's local table/accumulator deltas (all
+                # additive) with one psum each, then advance the shared key
+                # deterministically from the chunk's replicated input key.
+                for k, t0 in ref.items():
+                    new[k] = t0 + jax.lax.psum(new[k] - t0, DATA_AXIS)
+                new["key"] = jax.random.split(state["key"], 1)[0]
+            n_done = jax.lax.psum(n_done.sum(), DATA_AXIS)
+            done_score = jax.lax.psum(done_score.sum(), DATA_AXIS)
+            metrics = {
+                "episodes": n_done,
+                "ep_score_mean": done_score / jnp.maximum(n_done, 1.0),
+                "highest_exp": jax.lax.pmax(
+                    highest.max(), DATA_AXIS
+                ).astype(jnp.int32),
+            }
+            return new, metrics
+
+        sharded = shard_map(
+            local_chunk, mesh=mesh, in_specs=in_specs,
+            out_specs=out_specs, check_rep=False,
+        )
+        return jax.jit(sharded, donate_argnums=0)
 
     def learn(self, state=None, log_every: int = 50, log_fn=print):
         """Run training; the step count is rounded UP to whole chunks
@@ -339,12 +430,17 @@ def shard_td_state(state: dict, mesh) -> dict:
     """Place a TD training state on a ``(data, model)`` mesh.
 
     Data parallelism for TD: the env batch (``boards``/``score``/``prev_*``)
-    shards over ``data``; the 5.7 MB table and the key replicate. Inside the
-    jitted chunk XLA keeps the per-board work (greedy search, spawns) fully
-    local and resolves the scatter-add into the replicated table with one
-    all-gather of the (indices, updates) pairs per step — every device then
-    applies the full update, so replicas stay bit-identical without a
-    separate parameter reduction.
+    shards over ``data``; the table (and TC accumulators) and the key
+    replicate. Two execution modes consume this layout:
+
+    * :meth:`TDTrainer.train_chunk` straight on the sharded state —
+      bit-identical replicas, but XLA materialises the scatter into the
+      replicated table as a DENSE table-sized all-reduce EVERY STEP
+      (verified in HLO by tests/test_td.py::test_sharded_chunk_collective_audits);
+      acceptable for the 5.7 MB small net on fast ICI, ruinous for the
+      HBM-scale nets.
+    * :meth:`TDTrainer.make_sharded_chunk` — chunk-synchronous local TD,
+      one table psum per ``chunk_steps`` steps; the scalable mode.
     """
     from gym2048_tpu.parallel import replicate, shard_batch
 

@@ -102,6 +102,33 @@ def ppo_iteration_rate(n_devices: int, envs_per_device: int) -> float:
     return cfg.rollout_size / best
 
 
+def td_chunk_rate(n_devices: int, envs_per_device: int,
+                  chunk_steps: int = 32) -> float:
+    """Chunk-synchronous TD env-steps/s (greedy search + table update) on
+    n_devices via TDTrainer.make_sharded_chunk — one table psum per chunk
+    (the scalable mode; tests/test_td.py audits its HLO)."""
+    from gym2048_tpu.parallel import make_mesh
+    from gym2048_tpu.train import td
+
+    cfg = td.TDConfig(
+        n_envs=n_devices * envs_per_device, chunk_steps=chunk_steps,
+        init_value=1000.0,
+    )
+    tr = td.TDTrainer(cfg)
+    mesh = make_mesh(jax.devices()[:n_devices])
+    fn = tr.make_sharded_chunk(mesh)
+    state = td.shard_td_state(tr.init_state(jax.random.PRNGKey(0)), mesh)
+    state, m = fn(state, jnp.float32(0.1))  # compile
+    float(np.asarray(m["episodes"]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, m = fn(state, jnp.float32(0.1))
+        float(np.asarray(m["episodes"]))
+        best = min(best, time.perf_counter() - t0)
+    return cfg.n_envs * chunk_steps / best
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--boards-per-device", type=int, default=8192)
@@ -117,11 +144,13 @@ def main() -> None:
     for n in device_counts:
         env_rate = env_rollout_rate(n, args.boards_per_device, args.length)
         ppo_rate = ppo_iteration_rate(n, args.envs_per_device)
+        td_rate = td_chunk_rate(n, args.envs_per_device)
         row = {
             "devices": n,
             "env_batch": n * args.boards_per_device,
             "env_steps_per_s": round(env_rate),
             "ppo_steps_per_s": round(ppo_rate),
+            "td_steps_per_s": round(td_rate),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -142,15 +171,16 @@ def main() -> None:
             f"{args.envs_per_device}.",
             "",
             "| devices | env batch | env steps/s | scaling eff |"
-            " PPO steps/s |",
-            "|---|---|---|---|---|",
+            " PPO steps/s | TD steps/s |",
+            "|---|---|---|---|---|---|",
         ]
         for row in rows:
             lines.append(
                 f"| {row['devices']} | {row['env_batch']} | "
                 f"{row['env_steps_per_s']:,} | "
                 f"{row['env_scaling_eff']} | "
-                f"{row['ppo_steps_per_s']:,} |"
+                f"{row['ppo_steps_per_s']:,} | "
+                f"{row['td_steps_per_s']:,} |"
             )
         lines += [
             "",
@@ -166,7 +196,13 @@ def main() -> None:
             "real slice each device is its own chip: the env rollout has "
             "zero cross-chip traffic and the update's only collective is "
             "the ~1M-param gradient all-reduce, so near-linear weak "
-            "scaling is expected over ICI (docs/MULTIHOST.md).",
+            "scaling is expected over ICI (docs/MULTIHOST.md). The TD "
+            "column is the chunk-synchronous sharded learner "
+            "(TDTrainer.make_sharded_chunk): one dense table psum per "
+            "chunk_steps=32 steps instead of per step — the per-step "
+            "variant all-reduces the full table every step (HLO-verified "
+            "in tests/test_td.py) and is kept only for bit-identical "
+            "small-net replicas.",
         ]
         out = "\n".join(lines) + "\n"
         path = os.path.join(

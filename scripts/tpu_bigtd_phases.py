@@ -87,13 +87,17 @@ def big_phase(n_steps: int):
     )
 
 
-def big_eval(episodes: int = 128, seed: int = 99):
-    """Greedy (depth-1 afterstate) eval via the crash-safe chunked driver."""
-    value_fn = big_tr._net.make_value_fn(big_state["table"])
-    pol = expectimax.make_afterstate_policy(value_fn, depth=1)
+def big_eval(episodes: int = 128, seed: int = 99, depth: int = 1):
+    """Afterstate-search eval via the crash-safe chunked driver. The table
+    travels as a jit ARGUMENT (parametrised policy) — closing over it
+    embeds 268 MB of constants and the remote compile dies with HTTP 413."""
+    pol = expectimax.make_afterstate_policy(
+        big_tr._net.value_batch, depth=depth, parametrised=True,
+    )
     res = expectimax.play_policy(
         pol, episodes, jax.random.PRNGKey(seed), move_cap=30000,
-        chunk_moves=512,
+        chunk_moves=512 if depth == 1 else 64,
+        params=big_state["table"],
     )
     import collections
     dist = collections.Counter(e["highest"] for e in res["Episodes"])

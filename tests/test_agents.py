@@ -250,3 +250,147 @@ class TestPlay:
 
         out = json.loads(capsys.readouterr().out)
         assert out["episodes"] == 4 and "Average score" in out
+
+
+class TestDepth3AndParams:
+    """Depth-3 afterstate search + the parametrised-policy plumbing that
+    keeps HBM-scale tables out of the compiled program (HTTP 413 fix)."""
+
+    def _table(self, seed=0, scale=100.0):
+        import numpy as np
+
+        from gym2048_tpu.models import ntuple
+
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(
+            (rng.normal(size=17 * ntuple.TABLE_SIZE) * scale).astype(
+                np.float32
+            )
+        )
+
+    def test_parametrised_matches_closure_policy(self):
+        import numpy as np
+
+        from gym2048_tpu.models import ntuple
+
+        table = self._table(3)
+        rng = np.random.default_rng(6)
+        boards = jnp.asarray(rng.integers(0, 7, size=(16, 4, 4)), jnp.int8)
+        for depth in (1, 2):
+            closure = expectimax.make_afterstate_policy(
+                lambda bs: ntuple.value_batch(table, bs), depth
+            )
+            param = expectimax.make_afterstate_policy(
+                lambda t, bs: ntuple.value_batch(t, bs), depth,
+                parametrised=True,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(closure(boards)),
+                np.asarray(jax.jit(param)(table, boards)),
+            )
+
+    def test_depth3_actions_legal(self):
+        import numpy as np
+
+        from gym2048_tpu.models import ntuple
+
+        table = self._table(1)
+        policy = jax.jit(
+            expectimax.make_afterstate_policy(
+                lambda t, bs: ntuple.value_batch(t, bs), depth=3,
+                parametrised=True,
+            )
+        )
+        rng = np.random.default_rng(7)
+        boards = jnp.asarray(rng.integers(0, 7, size=(4, 4, 4)), jnp.int8)
+        a = np.asarray(policy(table, boards))
+        legal = np.asarray(jax.vmap(lambda b: rules.move_all(b)[2])(boards))
+        for i in range(4):
+            if legal[i].any():
+                assert legal[i, a[i]], i
+
+    def test_depth3_zero_table_picks_merge(self):
+        # pure-reward backup at 3 plies still picks an immediately merging
+        # move on the 2-ply fixture of TestAfterstateSearch
+        import numpy as np
+
+        boards = jnp.asarray(
+            np.array([[[1, 1, 2, 3], [0, 0, 0, 0], [0, 0, 0, 0],
+                       [0, 0, 0, 0]]]), jnp.int8
+        )
+        zero_fn = lambda _t, bs: jnp.zeros(bs.shape[0], jnp.float32)
+        p3 = expectimax.make_afterstate_policy(
+            zero_fn, depth=3, parametrised=True
+        )
+        assert int(p3(jnp.zeros(4), boards)[0]) in (rules.LEFT, rules.RIGHT)
+
+    def test_play_policy_params_kwarg(self):
+        from gym2048_tpu.models import ntuple
+
+        table = self._table(2)
+        res = expectimax.play_policy(
+            expectimax.make_afterstate_policy(
+                lambda t, bs: ntuple.value_batch(t, bs), depth=2,
+                parametrised=True,
+            ),
+            episodes=4, key=jax.random.PRNGKey(0), move_cap=200,
+            params=table,
+        )
+        assert res["Average score"] >= 0.0
+        assert len(res["Episodes"]) == 4
+
+    def test_bignet_depth2_policy(self):
+        # HBM-layout table through the parametrised search (the 4x6 table
+        # at n_vals=4 stays CPU-test-sized)
+        import numpy as np
+
+        from gym2048_tpu.models import ntuple_big
+
+        net = ntuple_big.NTupleNetwork(
+            ntuple_big.LAYOUTS["4x6"], n_vals=4
+        )
+        rng = np.random.default_rng(8)
+        table = jnp.asarray(
+            rng.normal(size=net.table_size).astype(np.float32) * 50
+        )
+        policy = jax.jit(
+            expectimax.make_afterstate_policy(
+                net.value_batch, depth=2, parametrised=True
+            )
+        )
+        boards = jnp.asarray(rng.integers(0, 4, size=(8, 4, 4)), jnp.int8)
+        a = np.asarray(policy(table, boards))
+        legal = np.asarray(jax.vmap(lambda b: rules.move_all(b)[2])(boards))
+        for i in range(8):
+            if legal[i].any():
+                assert legal[i, a[i]], i
+
+    def test_depth3_beam_legal_and_merge(self):
+        import numpy as np
+
+        from gym2048_tpu.models import ntuple
+
+        table = self._table(9)
+        policy = jax.jit(
+            expectimax.make_afterstate_policy(
+                lambda t, bs: ntuple.value_batch(t, bs), depth=3,
+                parametrised=True, beam=True,
+            )
+        )
+        rng = np.random.default_rng(10)
+        boards = jnp.asarray(rng.integers(0, 7, size=(4, 4, 4)), jnp.int8)
+        a = np.asarray(policy(table, boards))
+        legal = np.asarray(jax.vmap(lambda b: rules.move_all(b)[2])(boards))
+        for i in range(4):
+            if legal[i].any():
+                assert legal[i, a[i]], i
+        # pure-reward backup with beam still picks an immediate merge
+        fixture = jnp.asarray(
+            np.array([[[1, 1, 2, 3], [0, 0, 0, 0], [0, 0, 0, 0],
+                       [0, 0, 0, 0]]]), jnp.int8
+        )
+        zero_fn = lambda _t, bs: jnp.zeros(bs.shape[0], jnp.float32)
+        p3 = expectimax.make_afterstate_policy(
+            zero_fn, depth=3, parametrised=True, beam=True
+        )
+        assert int(p3(jnp.zeros(4), fixture)[0]) in (rules.LEFT, rules.RIGHT)

@@ -358,3 +358,107 @@ class TestTDTrainer:
         for i in range(32):
             if legal[i].any():
                 assert legal[i, a[i]]
+
+
+def _while_body_text(hlo_text):
+    """Concatenated HLO text of every while-loop body computation (the
+    lax.scan step loop plus any helper loops) — collectives found here run
+    once PER STEP, not per chunk."""
+    import re
+
+    bodies = {
+        m.group(1)
+        for m in re.finditer(r"condition=%?[\w.\-]+, body=%?([\w.\-]+)",
+                             hlo_text)
+    }
+    assert bodies, "no while loop in HLO"
+    out = []
+    for name in bodies:
+        bm = re.search(
+            r"%?" + re.escape(name) + r" [^\n]*\{(.*?)\n\}", hlo_text, re.S
+        )
+        assert bm, f"while body block {name} not found"
+        out.append(bm.group(1))
+    return "\n".join(out)
+
+
+class TestShardedChunkSync:
+    """The chunk-synchronous data-parallel TD mode (make_sharded_chunk)."""
+
+    def test_sharded_chunk_collective_audits(self):
+        # Enforce the traffic claim of shard_td_state's docstring in
+        # compiled HLO. (a) train_chunk on sharded state: XLA resolves the
+        # scatter into the replicated table as a dense table all-reduce
+        # INSIDE the scan loop — once per step. (b) make_sharded_chunk:
+        # the loop body has NO collectives at all; the table merge is the
+        # one psum per chunk, and nothing ever all-gathers.
+        import re
+
+        from gym2048_tpu.parallel import make_mesh
+
+        cfg = td.TDConfig(n_envs=64, chunk_steps=8, init_value=100.0)
+        tr = td.TDTrainer(cfg)
+        mesh = make_mesh()
+        state = td.shard_td_state(tr.init_state(jax.random.PRNGKey(0)), mesh)
+
+        step_sync = td.TDTrainer.train_chunk.lower(
+            tr, state, jnp.float32(0.1)
+        ).compile().as_text()
+        assert len(re.findall(r"\ball-reduce", _while_body_text(step_sync))
+                   ) > 0, "expected the per-step dense table all-reduce"
+
+        fn = tr.make_sharded_chunk(mesh)
+        chunk_sync = fn.lower(state, jnp.float32(0.1)).compile().as_text()
+        assert re.findall(r"\ball-reduce", chunk_sync), "table psum missing"
+        assert not re.findall(
+            r"\ball-reduce", _while_body_text(chunk_sync)
+        ), "chunk-sync must not all-reduce inside the step loop"
+        for bad in ("all-gather", "all-to-all", "collective-permute"):
+            assert not re.findall(r"\b" + bad, chunk_sync), bad
+
+    def test_sharded_chunk_sync_matches_single_device(self):
+        # With a 1-device data axis the delta/psum merge is skipped and the
+        # sharded chunk must reproduce train_chunk bit-exactly (validates
+        # the shared _chunk_body refactor).
+        from gym2048_tpu.parallel import make_mesh
+
+        cfg = td.TDConfig(n_envs=32, chunk_steps=8, init_value=100.0)
+        tr = td.TDTrainer(cfg)
+        ref, mref = tr.train_chunk(
+            tr.init_state(jax.random.PRNGKey(3)), jnp.float32(0.1)
+        )
+        mesh1 = make_mesh(jax.devices()[:1])
+        fn = tr.make_sharded_chunk(mesh1)
+        out, m = fn(
+            td.shard_td_state(tr.init_state(jax.random.PRNGKey(3)), mesh1),
+            jnp.float32(0.1),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref["table"]), np.asarray(out["table"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref["boards"]), np.asarray(out["boards"])
+        )
+        assert float(m["episodes"]) == float(mref["episodes"])
+
+    def test_sharded_chunk_sync_tc_learns(self):
+        # 8-device chunk-sync TC training: chains across chunks, table
+        # stays finite and replicated, boards make progress.
+        from gym2048_tpu.parallel import make_mesh
+
+        cfg = td.TDConfig(
+            n_envs=64, chunk_steps=16, init_value=100.0,
+            tc=True, alpha=1.0, alpha_final=1.0,
+        )
+        tr = td.TDTrainer(cfg)
+        mesh = make_mesh()
+        fn = tr.make_sharded_chunk(mesh)
+        state = td.shard_td_state(tr.init_state(jax.random.PRNGKey(4)), mesh)
+        for _ in range(4):
+            state, metrics = fn(state, jnp.float32(1.0))
+        table = np.asarray(state["table"])
+        assert np.isfinite(table).all()
+        assert (table != np.float32(100.0 / ntuple.N_TUPLES)).any()
+        assert int(metrics["highest_exp"]) >= 2
+        # the replicated table is one logical array (all shards equal)
+        assert state["table"].is_fully_replicated
