@@ -466,11 +466,16 @@ def play_greedy(
     even though training defaults to the cheaper "mxu_bf16". Pass ``net``
     (an :class:`~gym2048_tpu.models.ntuple_big.NTupleNetwork`) to evaluate
     a big-net table; ``value_impl`` is then ignored.
+
+    The table enters the jitted loop as an ARGUMENT, never a closure —
+    closed-over arrays become HLO constants and HBM-scale tables then
+    break the remote compile (HTTP 413; see expectimax.play_policy).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     if net is not None:
-        value_fn = net.make_value_fn(table)
+        params = table
+        value_of = lambda t, bs: net.value_batch(t, bs)
     else:
         if value_impl == "auto":
             value_impl = (
@@ -480,12 +485,15 @@ def play_greedy(
             t_hi, t_lo = ntuple.split_table(table)
             if value_impl == "mxu_bf16":
                 t_lo = None
-            value_fn = lambda bs: ntuple.value_batch_mxu(t_hi, t_lo, bs)
+            params = (t_hi, t_lo)
+            value_of = lambda p, bs: ntuple.value_batch_mxu(p[0], p[1], bs)
         else:
-            value_fn = lambda bs: ntuple.value_batch(table, bs)
+            params = table
+            value_of = lambda t, bs: ntuple.value_batch(t, bs)
 
     @jax.jit
-    def run(key):
+    def run(params, key):
+        value_fn = lambda bs: value_of(params, bs)
         key, k0 = jax.random.split(key)
         boards = _fresh_boards(k0, episodes)
         total = jnp.zeros(episodes, jnp.float32)
@@ -521,7 +529,7 @@ def play_greedy(
         c = jax.lax.while_loop(cond, body, c)
         return c[1], c[2], c[3]
 
-    total, moves, high = map(np.asarray, run(key))
+    total, moves, high = map(np.asarray, run(params, key))
     return {
         "Average score": float(total.mean()),
         "Max score": float(total.max()),

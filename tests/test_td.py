@@ -462,3 +462,24 @@ class TestShardedChunkSync:
         assert int(metrics["highest_exp"]) >= 2
         # the replicated table is one logical array (all shards equal)
         assert state["table"].is_fully_replicated
+
+    def test_sharded_chunk_sync_bignet(self):
+        # The HBM-layout nets run through the same chunk-sync path (their
+        # scatter would otherwise all-reduce ~table-size every step); tiny
+        # n_vals keeps the 4x6 table CPU-test-sized.
+        from gym2048_tpu.parallel import make_mesh
+
+        cfg = td.TDConfig(
+            n_envs=32, chunk_steps=8, init_value=50.0, arch="4x6",
+            n_vals=6, tc=True, alpha=1.0, alpha_final=1.0,
+        )
+        tr = td.TDTrainer(cfg)
+        mesh = make_mesh()
+        fn = tr.make_sharded_chunk(mesh)
+        state = td.shard_td_state(tr.init_state(jax.random.PRNGKey(6)), mesh)
+        for _ in range(2):
+            state, metrics = fn(state, jnp.float32(1.0))
+        table = np.asarray(state["table"])
+        assert np.isfinite(table).all()
+        assert (table != table.flat[0]).any() or table.flat[0] != 0.0
+        assert int(metrics["highest_exp"]) >= 1
