@@ -149,6 +149,31 @@ def bench_td() -> float:
     return b * steps / best
 
 
+def bench_td_big() -> float:
+    """HBM-scale 4x6 TC-TD training throughput (the flagship quality
+    learner: 67M weights, gather/scatter paths — docs/curves/td_4x6_*)."""
+    import numpy as np
+
+    from gym2048_tpu.train import td
+
+    b, steps = 8192, 16
+    cfg = td.TDConfig(
+        total_steps=b * steps, n_envs=b, chunk_steps=steps,
+        arch="4x6", tc=True, alpha=1.0, alpha_final=1.0, init_value=0.0,
+    )
+    tr = td.TDTrainer(cfg)
+    state = tr.init_state()
+    state, m = tr.train_chunk(state, jnp.float32(1.0))
+    float(np.asarray(m["episodes"]))  # compile + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, m = tr.train_chunk(state, jnp.float32(1.0))
+        float(np.asarray(m["episodes"]))
+        best = min(best, time.perf_counter() - t0)
+    return b * steps / best
+
+
 def bench_ppo(reference_shape: bool) -> float:
     """PPO env-steps/s through one full train_iteration (rollout + update).
 
@@ -195,6 +220,7 @@ def main() -> int:
     xla_rate, ratio = bench_xla()
     pallas_rate = bench_pallas() if on_tpu else None
     td_rate = bench_td() if on_tpu else None
+    td_big_rate = bench_td_big() if on_tpu else None
     ppo_prod_rate = bench_ppo(reference_shape=False) if on_tpu else None
     ppo_ref_rate = bench_ppo(reference_shape=True) if on_tpu else None
     headline = pallas_rate if pallas_rate else xla_rate
@@ -216,6 +242,9 @@ def main() -> int:
                     "scan_len": T_LARGE,
                     "td_train_steps_per_s": (
                         round(td_rate) if td_rate else None
+                    ),
+                    "td_big_4x6_tc_steps_per_s": (
+                        round(td_big_rate) if td_big_rate else None
                     ),
                     "ppo_steps_per_s": (
                         round(ppo_prod_rate) if ppo_prod_rate else None

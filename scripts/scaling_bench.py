@@ -1,4 +1,4 @@
-"""Weak-scaling measurement of the sharded env + PPO over a device mesh.
+"""Weak-scaling measurement of the sharded env + PPO + TD over a device mesh.
 
 On a multi-chip TPU slice this measures real ICI scaling; on a dev box it
 runs on N virtual CPU devices (JAX_PLATFORMS=cpu
@@ -163,7 +163,7 @@ def main() -> None:
 
     if args.md:
         lines = [
-            "# Weak scaling — sharded env + PPO over the device mesh",
+            "# Weak scaling — sharded env + PPO + TD over the device mesh",
             "",
             f"Platform: {jax.devices()[0].platform} x{n_avail} "
             f"({jax.devices()[0]}), boards/device="
