@@ -55,6 +55,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (f32 params/updates) — the MXU's"
                         " native dtype")
+    p.add_argument("--mesh", action="store_true",
+                   help="data-parallel training over all visible devices "
+                        "via the (data, model) mesh: params replicate, "
+                        "the env batch shards, gradients all-reduce over "
+                        "ICI (docs/MULTIHOST.md front door; also switches "
+                        "to the device-local minibatch shuffle)")
     p.add_argument("--log-dir", default="./logs")
     p.add_argument("--ckpt-dir", default="./checkpoints")
     p.add_argument("--resume", action="store_true",
@@ -101,6 +107,10 @@ def main(argv=None) -> None:
         mask_illegal=args.mask_illegal,
         compute_dtype=(jax.numpy.bfloat16 if args.bf16
                        else jax.numpy.float32),
+        # the multi-chip mode needs the device-local shuffle (the global
+        # minibatch permutation would gather the whole rollout to every
+        # device — docs/MULTIHOST.md, tests/test_parallel.py HLO audit)
+        **({"shuffle_mode": "sharded"} if args.mesh else {}),
     )
     ppo = PPO(cfg)
     state = ppo.init_state()
@@ -117,6 +127,13 @@ def main(argv=None) -> None:
             batch_stats=variables.get("batch_stats", {}),
         )
         print(f"Loaded pre-trained policy weights from {args.pretrained}")
+
+    if args.mesh:
+        from gym2048_tpu.parallel import make_mesh, shard_train_state
+
+        mesh = make_mesh()
+        state = shard_train_state(state, mesh)
+        print(f"sharded training over mesh {dict(mesh.shape)}")
 
     logger = MetricsLogger(args.log_dir, run_name)
     last_video = {"t": 0}

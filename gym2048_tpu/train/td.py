@@ -374,14 +374,45 @@ class TDTrainer:
         )
         return jax.jit(sharded, donate_argnums=0)
 
-    def learn(self, state=None, log_every: int = 50, log_fn=print):
+    def learn(
+        self,
+        state=None,
+        log_every: int = 50,
+        log_fn=print,
+        ckpt_path=None,
+        ckpt_every: int = 0,
+        start_chunk: int = 0,
+        max_chunks: int | None = None,
+        mesh=None,
+    ):
         """Run training; the step count is rounded UP to whole chunks
         (``n_envs * chunk_steps``), so the actual steps trained — reported
         in the log and in :class:`TDLogEntry` — can exceed
-        ``cfg.total_steps`` by up to one chunk."""
+        ``cfg.total_steps`` by up to one chunk.
+
+        ``ckpt_path`` + ``ckpt_every`` (chunks) enable full-fidelity
+        checkpoints via :func:`save_train_state` — the WHOLE training
+        state including the TC accumulators, env batch, RNG key and the
+        chunk counter, so a crashed or interrupted run resumes
+        bit-continuously (pass the restored state and ``start_chunk``;
+        the alpha schedule position follows from the chunk counter).
+        ``max_chunks`` bounds how many chunks THIS call runs (phased
+        training) without changing the schedule, which always spans the
+        full ``total_steps``.
+
+        ``mesh`` switches to data-parallel training over a ``(data,
+        model)`` mesh: the state is placed with :func:`shard_td_state`
+        and chunks run through :meth:`make_sharded_chunk` (chunk-sync,
+        one table psum per chunk — the docs/MULTIHOST.md procedure, now
+        one call instead of hand-written driver code).
+        """
         cfg = self.cfg
         if state is None:
             state = self.init_state()
+        chunk_fn = self.train_chunk
+        if mesh is not None:
+            state = shard_td_state(state, mesh)
+            chunk_fn = self.make_sharded_chunk(mesh)
         steps_per_chunk = cfg.n_envs * cfg.chunk_steps
         n_chunks = -(-cfg.total_steps // steps_per_chunk)  # ceil
         if log_fn is not None and n_chunks * steps_per_chunk != cfg.total_steps:
@@ -392,11 +423,18 @@ class TDTrainer:
             )
         t0 = time.time()
         history = []
-        for c in range(n_chunks):
+        stop = n_chunks if max_chunks is None else min(
+            n_chunks, start_chunk + max_chunks
+        )
+        for c in range(start_chunk, stop):
             frac = c / max(n_chunks - 1, 1)
             alpha = cfg.alpha + (cfg.alpha_final - cfg.alpha) * frac
-            state, metrics = self.train_chunk(state, jnp.float32(alpha))
-            if (c + 1) % log_every == 0 or c + 1 == n_chunks:
+            state, metrics = chunk_fn(state, jnp.float32(alpha))
+            if ckpt_path and ckpt_every and (
+                (c + 1) % ckpt_every == 0 or c + 1 == stop
+            ):
+                save_train_state(ckpt_path, state, cfg, chunks_done=c + 1)
+            if (c + 1) % log_every == 0 or c + 1 == stop:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 entry = TDLogEntry(
                     steps=(c + 1) * steps_per_chunk,
@@ -415,6 +453,57 @@ class TDTrainer:
                         f"({entry.steps / entry.wall / 1e3:.0f}k steps/s)"
                     )
         return state, history
+
+
+TRAIN_STATE_FORMAT = "td_train_state_v1"
+
+
+def save_train_state(path, state: dict, cfg: TDConfig, chunks_done: int):
+    """Durable full-fidelity TD checkpoint (atomic write): every state
+    leaf — table, TC accumulators ``tc_e``/``tc_a``, env boards/scores,
+    delayed-update carry, RNG key — plus the chunk counter, so resuming
+    continues the exact trajectory (the round-3 phased runs instead kept
+    accumulators alive in a process namespace, which is what lost the
+    flagship table when the session died — VERDICT round 3 / CLAUDE.md)."""
+    import os
+
+    from gym2048_tpu.utils.checkpoint import save_model
+
+    tmp = str(path) + ".tmp"
+    save_model(
+        tmp,
+        {k: np.asarray(v) for k, v in state.items()},
+        meta={
+            "format": TRAIN_STATE_FORMAT,
+            "config": dataclasses.asdict(cfg),
+            "chunks_done": int(chunks_done),
+        },
+    )
+    os.replace(tmp, path)
+
+
+def load_train_state(path) -> tuple[dict, dict]:
+    """Load a :func:`save_train_state` checkpoint -> ``(state, meta)``
+    with device arrays; raises if the file is a bare table pickle."""
+    from gym2048_tpu.utils.checkpoint import load_model
+
+    variables, meta = load_model(path)
+    assert meta.get("format") == TRAIN_STATE_FORMAT, (
+        f"{path} is not a TD train-state checkpoint (meta {meta.keys()})"
+    )
+    return {k: jnp.asarray(v) for k, v in variables.items()}, meta
+
+
+def is_train_state(path) -> bool:
+    """True when ``path`` holds a full train-state checkpoint (vs a bare
+    table .pkl from ``save_model``)."""
+    from gym2048_tpu.utils.checkpoint import load_model
+
+    try:
+        _, meta = load_model(path)
+    except Exception:
+        return False
+    return meta.get("format") == TRAIN_STATE_FORMAT
 
 
 # state dict keys whose leading axis is the env batch (shard over `data`);
@@ -592,12 +681,34 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument(
         "--tc", action="store_true",
         help="temporal-coherence per-entry adaptive rates (set --alpha "
-        "and --alpha-final to the meta-rate, typically 1.0); the TC "
-        "accumulators are NOT saved, so --resume restarts them fresh",
+        "and --alpha-final to the meta-rate, typically 1.0); use "
+        "--ckpt to save the accumulators with the rest of the state",
     )
     p.add_argument("--eval-episodes", type=int, default=128)
     p.add_argument("--output", default="ntuple_table.pkl")
-    p.add_argument("--resume", default=None, help="table .pkl to continue")
+    p.add_argument(
+        "--resume", default=None,
+        help="checkpoint to continue: a --ckpt train-state file resumes "
+        "the FULL state (table, TC accumulators, env batch, RNG key, "
+        "chunk counter — bit-continuous); a bare table .pkl seeds just "
+        "the table",
+    )
+    p.add_argument(
+        "--ckpt", default=None,
+        help="path for periodic full train-state checkpoints "
+        "(atomic overwrite; resumable with --resume)",
+    )
+    p.add_argument(
+        "--ckpt-every", type=int, default=50,
+        help="chunks between --ckpt saves",
+    )
+    p.add_argument(
+        "--sharded", action="store_true",
+        help="data-parallel training over all visible devices via the "
+        "(data, model) mesh — chunk-synchronous mode, one table psum "
+        "per chunk (docs/MULTIHOST.md; combine with "
+        "gym2048_tpu.parallel.init_distributed env vars for multi-host)",
+    )
     args = p.parse_args(argv)
 
     cfg = TDConfig(
@@ -610,10 +721,28 @@ def main(argv: list[str] | None = None) -> None:
     )
     trainer = TDTrainer(cfg)
     state = trainer.init_state()
+    start_chunk = 0
     if args.resume:
-        variables, _meta = load_model(args.resume)
-        state["table"] = jnp.asarray(variables["table"])
-    state, history = trainer.learn(state)
+        if is_train_state(args.resume):
+            state, meta = load_train_state(args.resume)
+            start_chunk = meta["chunks_done"]
+            print(
+                f"resumed full train state at chunk {start_chunk} "
+                f"({start_chunk * cfg.n_envs * cfg.chunk_steps} steps)"
+            )
+        else:
+            variables, _meta = load_model(args.resume)
+            state["table"] = jnp.asarray(variables["table"])
+    mesh = None
+    if args.sharded:
+        from gym2048_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"sharded training over mesh {dict(mesh.shape)}")
+    state, history = trainer.learn(
+        state, ckpt_path=args.ckpt, ckpt_every=args.ckpt_every,
+        start_chunk=start_chunk, mesh=mesh,
+    )
     save_model(
         args.output, {"table": np.asarray(state["table"])},
         meta={"config": dataclasses.asdict(cfg)},

@@ -63,16 +63,25 @@ def main() -> None:
             h.update(np.asarray(leaf).tobytes())
         return h.hexdigest()
 
-    # --- TD: one sharded chunk (cheap compile; always run) ---------------
+    # --- TD: one CHUNK-SYNC sharded chunk (cheap compile; always run).
+    # make_sharded_chunk is the scalable mode docs/MULTIHOST.md prescribes
+    # (one table psum per chunk via shard_map) — round-3 verdict weak #1:
+    # it must cross a REAL process boundary here, not only the virtual
+    # single-process mesh. The psum-merged table must come back
+    # bit-identical on every process.
     td_cfg = td.TDConfig(
         total_steps=64 * 8, n_envs=8 * n_dev, chunk_steps=8,
-        update_impl="scatter", value_impl="gather",
+        update_impl="scatter", value_impl="gather", tc=True,
+        alpha=1.0, alpha_final=1.0,
     )
     tr = td.TDTrainer(td_cfg)
+    fn = tr.make_sharded_chunk(mesh)
     state = td.shard_td_state(tr.init_state(), mesh)
-    state, metrics = tr.train_chunk(state, jax.numpy.float32(0.1))
+    state, metrics = fn(state, jax.numpy.float32(1.0))
     result["td_ep_score"] = float(metrics["ep_score_mean"])
-    result["td_table_md5"] = md5_tree(state["table"])
+    result["td_table_md5"] = md5_tree(
+        {k: state[k] for k in ("table", "tc_e", "tc_a")}
+    )
 
     # --- PPO: one sharded train iteration (skippable for the cheap run) --
     if os.environ.get("MP_WORKER_PPO", "1") == "1":
