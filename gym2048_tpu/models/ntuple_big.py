@@ -35,6 +35,8 @@ import jax.numpy as jnp
 
 from gym2048_tpu.models.ntuple import SYMS  # the 8 board symmetries
 
+_LANES = 128  # TPU lane width: the unit of the "rows" gather/scatter paths
+
 # Standard tuple layouts (flat row-major cell indices on the 4x4 board).
 # "4x6": the classical four 6-tuples (two 2x3 rectangles + two L/rows
 # shapes) — with the 8 symmetries they tile the board densely; this is the
@@ -89,6 +91,8 @@ class NTupleNetwork:
         tuples,
         n_vals: int = 16,
         thresholds: tuple[int, ...] = (),
+        value_impl: str = "gather",
+        update_impl: str = "scatter",
     ):
         tuples = tuple(tuple(int(c) for c in t) for t in tuples)
         assert tuples and all(0 <= c < 16 for t in tuples for c in t)
@@ -109,6 +113,17 @@ class NTupleNetwork:
         self.stage_stride = int(sum(sizes))
         self.n_stages = len(self.thresholds) + 1
         self.table_size = self.stage_stride * self.n_stages
+        # implementation selection (see value_batch / td_update_tc):
+        # "gather"/"scatter" are the scalar XLA ops; "rows" reformulates
+        # both as 128-lane ROW operations — XLA:TPU's serial per-INDEX
+        # cost dominates scalar gather/scatter (~135M idx/s, ~16M
+        # updates/s), whereas row ops move whole lane-aligned tiles.
+        assert value_impl in ("gather", "rows"), value_impl
+        assert update_impl in ("scatter", "rows"), update_impl
+        if self.table_size % _LANES:
+            value_impl, update_impl = "gather", "scatter"  # rows need %128
+        self.value_impl = value_impl
+        self.update_impl = update_impl
         # offset of each tuple's sub-table within one stage
         self._offsets = np.concatenate(
             [[0], np.cumsum(sizes)[:-1]]
@@ -166,9 +181,24 @@ class NTupleNetwork:
 
     # --------------------------------------------------------------- value
     def value_batch(self, table: jax.Array, boards: jax.Array) -> jax.Array:
-        """Values ``(B,)`` of ``(B, 4, 4)`` boards: one batched gather of
-        ``B * 8T`` scalars, mean over the 8 symmetries of the tuple sums."""
+        """Values ``(B,)`` of ``(B, 4, 4)`` boards, mean over the 8
+        symmetries of the tuple sums.
+
+        ``value_impl="gather"``: one batched gather of ``B * 8T`` scalars.
+        ``value_impl="rows"``: gather whole 128-lane ROWS (``idx // 128``)
+        and select the lane with a one-hot multiply-reduce — numerically
+        identical (f32 copy + exact 0/1 select), but on XLA:TPU the
+        scalar gather is serial per index while the row form moves
+        lane-aligned tiles.
+        """
         idx = self.indices_batch(boards)
+        if self.value_impl == "rows":
+            flat = idx.reshape(-1)
+            rows = jnp.take(
+                table.reshape(-1, _LANES), flat // _LANES, axis=0
+            )  # (B*8T, 128)
+            oh = jax.nn.one_hot(flat % _LANES, _LANES, dtype=jnp.float32)
+            return (rows * oh).sum(-1).reshape(idx.shape).sum(-1) / 8.0
         return table[idx].sum(-1) / 8.0
 
     def make_value_fn(self, table: jax.Array):
@@ -235,25 +265,50 @@ class NTupleNetwork:
 
     def _scatter2(self, boards, w_board, valid):
         idx, w = self._flat_updates(boards, w_board, valid)
-        payload = jnp.stack([w, jnp.ones_like(w)], -1)  # (N, 2)
-        acc = jnp.zeros((self.table_size, 2), jnp.float32).at[idx].add(
-            payload, mode="drop"
-        )
-        return acc[:, 0], acc[:, 1]
+        payloads = (w, jnp.ones_like(w))
+        return self._scatter_add(idx, payloads)
 
     def _scatter3(self, boards, w_board, valid):
         idx, w = self._flat_updates(boards, w_board, valid)
-        payload = jnp.stack([w, jnp.abs(w), jnp.ones_like(w)], -1)
-        acc = jnp.zeros((self.table_size, 3), jnp.float32).at[idx].add(
+        payloads = (w, jnp.abs(w), jnp.ones_like(w))
+        return self._scatter_add(idx, payloads)
+
+    def _scatter_add(self, idx, payloads):
+        """Scatter-add ``len(payloads)`` scalar channels at the shared
+        flat ``idx`` (the drop sentinel ``table_size`` falls out of
+        bounds in both layouts).
+
+        ``update_impl="scatter"``: one XLA scatter with a stacked
+        channel payload — serial per index on XLA:TPU.
+        ``update_impl="rows"``: each update becomes a 128-lane one-hot
+        ROW (``w * onehot(idx % 128)``) scatter-added at row
+        ``idx // 128`` — 128x the arithmetic, but the per-index serial
+        loop now moves lane-aligned tiles instead of scalars.
+        """
+        k = len(payloads)
+        if self.update_impl == "rows":
+            hi, lo = idx // _LANES, idx % _LANES
+            oh = jax.nn.one_hot(lo, _LANES, dtype=jnp.float32)  # (N, 128)
+            payload = jnp.stack([w[:, None] * oh for w in payloads], 1)
+            acc = jnp.zeros(
+                (self.table_size // _LANES, k, _LANES), jnp.float32
+            ).at[hi].add(payload, mode="drop")
+            return tuple(
+                acc[:, c, :].reshape(self.table_size) for c in range(k)
+            )
+        payload = jnp.stack(payloads, -1)  # (N, k)
+        acc = jnp.zeros((self.table_size, k), jnp.float32).at[idx].add(
             payload, mode="drop"
         )
-        return acc[:, 0], acc[:, 1], acc[:, 2]
+        return tuple(acc[:, c] for c in range(k))
 
 
 def make_network(
     arch: str,
     n_vals: int = 16,
     thresholds: tuple[int, ...] = (),
+    value_impl: str = "gather",
+    update_impl: str = "scatter",
 ) -> NTupleNetwork:
     """Build a named layout (see :data:`LAYOUTS`)."""
     if arch not in LAYOUTS:
@@ -261,4 +316,7 @@ def make_network(
             f"unknown n-tuple layout {arch!r}; choose from "
             f"{sorted(LAYOUTS)}"
         )
-    return NTupleNetwork(LAYOUTS[arch], n_vals, thresholds)
+    return NTupleNetwork(
+        LAYOUTS[arch], n_vals, thresholds,
+        value_impl=value_impl, update_impl=update_impl,
+    )

@@ -140,10 +140,20 @@ class TDTrainer:
         if self.cfg.arch != "small":
             from gym2048_tpu.models import ntuple_big
 
+            on_tpu = jax.default_backend() == "tpu"
+            vimpl = self.cfg.value_impl
+            if vimpl in ("auto", "mxu", "mxu_bf16"):
+                # the small-net MXU modes don't exist at HBM scale; the
+                # TPU-fast big-net form is the 128-lane row reformulation
+                vimpl = "rows" if on_tpu else "gather"
+            uimpl = self.cfg.update_impl
+            if uimpl in ("auto", "mxu"):
+                uimpl = "rows" if on_tpu else "scatter"
             self._net = ntuple_big.make_network(
-                self.cfg.arch, self.cfg.n_vals, self.cfg.thresholds
+                self.cfg.arch, self.cfg.n_vals, self.cfg.thresholds,
+                value_impl=vimpl, update_impl=uimpl,
             )
-            return  # big nets use their own gather/scatter paths
+            return  # big nets use their own gather/scatter/row paths
         assert not self.cfg.thresholds, (
             "staged training is configured via promote_table for the small "
             "net; thresholds apply to big-net archs"
@@ -656,14 +666,18 @@ def main(argv: list[str] | None = None) -> None:
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
-        "--update-impl", choices=("auto", "scatter", "mxu"), default="auto",
-        help="table update path: XLA scatter or MXU one-hot matmul",
+        "--update-impl", choices=("auto", "scatter", "mxu", "rows"),
+        default="auto",
+        help="table update path: XLA scatter, MXU one-hot matmul (small "
+        "net), or 128-lane row scatter (big nets)",
     )
     p.add_argument(
-        "--value-impl", choices=("auto", "gather", "mxu", "mxu_bf16"),
+        "--value-impl",
+        choices=("auto", "gather", "mxu", "mxu_bf16", "rows"),
         default="auto",
         help="value-lookup path; mxu_bf16 trades ~0.4%% value noise for "
-        "half the lookup FLOPs",
+        "half the lookup FLOPs (small net); rows = 128-lane row gather "
+        "(big nets)",
     )
     p.add_argument(
         "--arch", default="small",

@@ -93,3 +93,76 @@ def load_model(path: str | Path) -> tuple[Any, dict]:
     with open(path, "rb") as f:
         blob = pickle.load(f)
     return blob["variables"], blob.get("meta", {})
+
+
+def save_array_bf16(
+    prefix: str | Path,
+    arr,
+    meta: dict | None = None,
+    part_bytes: int = 90_000_000,
+) -> list[Path]:
+    """Persist a large f32 array as commit-sized artifact files.
+
+    The round-3 flagship table (268 MB f32, gitignored ``artifacts/``)
+    was lost when its session ended; this is the durable alternative: the
+    array is cast to bfloat16 (halving bytes; ~0.4% relative rounding —
+    measured quality-neutral for value SELECTION, docs/PERF.md),
+    zlib-compressed, and split into parts below ``part_bytes`` so each
+    file stays well under git-hosting size limits. Writes
+    ``<prefix>.meta.json`` + ``<prefix>.p00``, ``.p01``, ... and returns
+    the paths.
+    """
+    import json
+    import zlib
+
+    import ml_dtypes
+
+    prefix = Path(prefix)
+    prefix.parent.mkdir(parents=True, exist_ok=True)
+    a = np.asarray(arr)
+    raw = a.astype(ml_dtypes.bfloat16).tobytes()
+    comp = zlib.compress(raw, level=6)
+    parts = [
+        comp[i: i + part_bytes] for i in range(0, len(comp), part_bytes)
+    ] or [b""]
+    paths = []
+    for i, blob in enumerate(parts):
+        p = prefix.with_name(prefix.name + f".p{i:02d}")
+        p.write_bytes(blob)
+        paths.append(p)
+    header = {
+        "format": "bf16_zlib_v1",
+        "shape": list(a.shape),
+        "source_dtype": str(a.dtype),
+        "n_parts": len(parts),
+        "raw_bytes": len(raw),
+        "meta": meta or {},
+    }
+    hp = prefix.with_name(prefix.name + ".meta.json")
+    hp.write_text(json.dumps(header, indent=1))
+    return [hp] + paths
+
+
+def load_array_bf16(prefix: str | Path) -> tuple[Any, dict]:
+    """Load a :func:`save_array_bf16` artifact -> ``(f32 ndarray, meta)``
+    (values carry the bf16 rounding of the save)."""
+    import json
+    import zlib
+
+    import ml_dtypes
+
+    prefix = Path(prefix)
+    header = json.loads(
+        prefix.with_name(prefix.name + ".meta.json").read_text()
+    )
+    assert header["format"] == "bf16_zlib_v1", header
+    comp = b"".join(
+        prefix.with_name(prefix.name + f".p{i:02d}").read_bytes()
+        for i in range(header["n_parts"])
+    )
+    raw = zlib.decompress(comp)
+    assert len(raw) == header["raw_bytes"]
+    a = np.frombuffer(raw, dtype=ml_dtypes.bfloat16).reshape(
+        header["shape"]
+    )
+    return a.astype(np.float32), header["meta"]

@@ -153,8 +153,14 @@ def main() -> None:
             env_rollout_rate(n, args.boards_per_device, args.length)
             for _ in range(args.repeats)
         ]))
-        ppo_rate = ppo_iteration_rate(n, args.envs_per_device)
-        td_rate = td_chunk_rate(n, args.envs_per_device)
+        ppo_rate = float(np.median([
+            ppo_iteration_rate(n, args.envs_per_device)
+            for _ in range(args.repeats)
+        ]))
+        td_rate = float(np.median([
+            td_chunk_rate(n, args.envs_per_device)
+            for _ in range(args.repeats)
+        ]))
         row = {
             "devices": n,
             "env_batch": n * args.boards_per_device,
@@ -178,8 +184,9 @@ def main() -> None:
             f"Platform: {jax.devices()[0].platform} x{n_avail} "
             f"({jax.devices()[0]}), boards/device="
             f"{args.boards_per_device}, PPO envs/device="
-            f"{args.envs_per_device}; env steps/s is the median of "
-            f"{args.repeats} independent measurements (each best-of-3).",
+            f"{args.envs_per_device}; every rate is the median of "
+            f"{args.repeats} independent measurements (each best-of-3) "
+            f"taken on an otherwise-idle host.",
             "",
             "| devices | env batch | env steps/s | scaling eff |"
             " PPO steps/s | TD steps/s |",

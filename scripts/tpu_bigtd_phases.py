@@ -1,13 +1,19 @@
 """Generate phased big-net TC-TD training jobs for scripts/tpu_runner.py.
 
-The 4x6-layout TC run (67M weights) trains ~100M env-steps per ~10-minute
-phase; phasing keeps every runner job short (other chip jobs can interleave
-between phases) while the trainer state — including the TC accumulators
-that a CLI --resume would lose — persists in the runner's shared namespace.
+The 4x6-layout TC run (67M weights) trains ~100M env-steps per phase;
+phasing keeps every runner job short (other chip jobs can interleave
+between phases). Durability (round-3 lesson: the flagship table died with
+the session): every phase ends with a FULL train-state checkpoint
+(td.save_train_state — table, TC accumulators, env batch, RNG key, chunk
+counter) and each phase RESUMES FROM THE CHECKPOINT FILE, never from the
+runner's shared namespace, so a worker crash or runner restart loses at
+most one phase.
 
 Usage:
-    python scripts/tpu_bigtd_phases.py [n_phases] [queue_dir]
+    python scripts/tpu_bigtd_phases.py [n_phases] [queue_dir] [thresholds]
 then watch <queue>/1??_bigtd_*.py.out and docs/curves/td_4x6_tc_run.jsonl.
+``thresholds`` (comma-separated max-tile exponents, e.g. ``11,12``) builds
+the multi-stage variant (arXiv:1604.05085) with its own log/ckpt names.
 """
 
 from __future__ import annotations
@@ -17,9 +23,16 @@ from pathlib import Path
 
 N_PHASES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 QUEUE = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/tpujobs")
+THRESHOLDS = tuple(
+    int(t) for t in sys.argv[3].split(",") if t
+) if len(sys.argv) > 3 else ()
+# r4: distinct tag per generation — the round-3 curve file is a committed
+# artifact and must never be appended to by a new run
+TAG = "td_4x6_tc_r4" + ("_staged" if THRESHOLDS else "")
 
-INIT = '''
-"""Big-net TC-TD: build trainer + state (phase driver)."""
+PHASE = '''
+"""Big-net TC-TD phase {i}/{n}: +{steps} steps{eval_note} ({tag})."""
+import dataclasses
 import json
 import sys
 import time
@@ -34,97 +47,85 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 from gym2048_tpu.train import td
-from gym2048_tpu.agents import expectimax
 
 assert jax.default_backend() == "tpu"
 
-BIG_CFG = td.TDConfig(
-    total_steps=0, n_envs=8192, chunk_steps=64, arch="4x6",
+CFG = td.TDConfig(
+    total_steps={total_steps}, n_envs=8192, chunk_steps=64, arch="4x6",
     tc=True, alpha=1.0, alpha_final=1.0, init_value=0.0, seed=7,
+    thresholds={thresholds},
 )
-big_tr = td.TDTrainer(BIG_CFG)
-big_state = big_tr.init_state()
-big_steps = 0
-big_t0 = time.time()
-BIG_LOG = "/root/repo/docs/curves/td_4x6_tc_run.jsonl"
-BIG_CKPT = "/root/repo/artifacts/ntuple_4x6_tc.pkl"
+CKPT = "/root/repo/artifacts/{tag}_state.pkl"
+LOG = "/root/repo/docs/curves/{tag}_run.jsonl"
+PER_CHUNK = CFG.n_envs * CFG.chunk_steps
+
+tr = td.TDTrainer(CFG)
+import os
+if os.path.exists(CKPT):
+    state, meta = td.load_train_state(CKPT)
+    start = meta["chunks_done"]
+    print(f"resumed at chunk {{start}} ({{start * PER_CHUNK}} steps)")
+else:
+    state = tr.init_state()
+    start = 0
+    print("fresh start")
+
+t0 = time.time()
 
 
-def big_phase(n_steps: int):
-    """Train n_steps more; append a log line; save the checkpoint."""
-    global big_state, big_steps
-    per = BIG_CFG.n_envs * BIG_CFG.chunk_steps
-    n_chunks = -(-n_steps // per)
-    t0 = time.time()
-    for c in range(n_chunks):
-        big_state, metrics = big_tr.train_chunk(big_state, jnp.float32(1.0))
-        if (c + 1) % 50 == 0 or c + 1 == n_chunks:
-            m = {k: float(np.asarray(v)) for k, v in metrics.items()}
-            big_steps_now = big_steps + (c + 1) * per
-            line = {
-                "steps": big_steps_now,
-                "episodes": m["episodes"],
-                "ep_score_mean": m["ep_score_mean"],
-                "highest_tile_max": int(2 ** m["highest_exp"]),
-                "alpha": 1.0,
-                "wall": time.time() - big_t0,
-            }
-            with open(BIG_LOG, "a") as f:
-                f.write(json.dumps(line) + chr(10))
-            print(
-                f"steps {line['steps']} ep_score "
-                f"{line['ep_score_mean']:.0f} highest "
-                f"{line['highest_tile_max']}"
-            )
-    big_steps += n_chunks * per
-    rate = n_chunks * per / (time.time() - t0)
-    print(f"phase done: {big_steps} total, {rate/1e3:.0f}k steps/s")
-    from gym2048_tpu.utils.checkpoint import save_model
-    import dataclasses
-    save_model(
-        BIG_CKPT, {"table": np.asarray(big_state["table"])},
-        meta={"config": dataclasses.asdict(BIG_CFG), "steps": big_steps},
-    )
+def log_fn(msg):
+    print(msg, flush=True)
 
 
-def big_eval(episodes: int = 128, seed: int = 99, depth: int = 1):
-    """Afterstate-search eval via the crash-safe chunked driver. The table
-    travels as a jit ARGUMENT (parametrised policy) — closing over it
-    embeds 268 MB of constants and the remote compile dies with HTTP 413."""
-    pol = expectimax.make_afterstate_policy(
-        big_tr._net.value_batch, depth=depth, parametrised=True,
-    )
-    res = expectimax.play_policy(
-        pol, episodes, jax.random.PRNGKey(seed), move_cap=30000,
-        chunk_moves=512 if depth == 1 else 64,
-        params=big_state["table"],
-    )
-    import collections
-    dist = collections.Counter(e["highest"] for e in res["Episodes"])
-    print(json.dumps({
-        "steps": big_steps,
-        "Average score": res["Average score"],
-        "Max score": res["Max score"],
-        "Highest tile": res["Highest tile"],
-        "tile_distribution": dict(sorted(dist.items())),
-    }))
-    return res
+history_steps = start * PER_CHUNK
+state, history = tr.learn(
+    state, log_every=50, log_fn=log_fn, ckpt_path=CKPT, ckpt_every=50,
+    start_chunk=start, max_chunks={phase_chunks},
+)
+with open(LOG, "a") as f:
+    for e in history:
+        f.write(json.dumps(dataclasses.asdict(e)) + chr(10))
+steps_done = history[-1].steps if history else history_steps
+rate = (steps_done - history_steps) / max(time.time() - t0, 1e-9)
+print(f"phase done: {{steps_done}} total, {{rate / 1e3:.0f}}k steps/s")
+{eval_code}
 '''
 
-PHASE = '''
-"""Big-net TC-TD phase: +100M steps{eval_note}."""
-big_phase(100_000_000)
-{eval_call}
+EVAL = '''
+from gym2048_tpu.agents import expectimax
+
+pol = expectimax.make_afterstate_policy(
+    lambda t, bs: tr._net.value_batch(t, bs), depth=1, parametrised=True,
+)
+res = expectimax.play_policy(
+    pol, 128, jax.random.PRNGKey(99), move_cap=30000, chunk_moves=512,
+    params=state["table"],
+)
+import collections
+dist = collections.Counter(e["highest"] for e in res["Episodes"])
+print(json.dumps({
+    "steps": steps_done,
+    "Average score": res["Average score"],
+    "Max score": res["Max score"],
+    "Highest tile": res["Highest tile"],
+    "tile_distribution": dict(sorted(dist.items())),
+}))
 '''
 
 QUEUE.mkdir(parents=True, exist_ok=True)
-(QUEUE / "100_bigtd_init.py").write_text(INIT)
+Path("/root/repo/artifacts").mkdir(exist_ok=True)
+PHASE_STEPS = 100_000_000
+PHASE_CHUNKS = -(-PHASE_STEPS // (8192 * 64))
 for i in range(1, N_PHASES + 1):
     do_eval = i % 3 == 0 or i == N_PHASES
     (QUEUE / f"{100 + i}_bigtd_phase{i:02d}.py").write_text(
         PHASE.format(
+            i=i, n=N_PHASES, steps=PHASE_STEPS, tag=TAG,
+            total_steps=PHASE_STEPS * N_PHASES,
+            thresholds=repr(THRESHOLDS),
+            phase_chunks=PHASE_CHUNKS,
             eval_note=" + 128-game greedy eval" if do_eval else "",
-            eval_call="big_eval(128)" if do_eval else "",
+            eval_code=EVAL if do_eval else "",
         )
     )
-print(f"queued init + {N_PHASES} phases in {QUEUE}")
+print(f"queued {N_PHASES} phases ({TAG}) in {QUEUE}")

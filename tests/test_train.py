@@ -172,6 +172,29 @@ class TestCheckpoint:
         np.testing.assert_array_equal(loaded["params"]["w"], np.arange(4.0))
         assert meta == {"filters": 8}
 
+    def test_bf16_artifact_roundtrip_and_split(self, tmp_path):
+        # the durable big-table artifact format: values round-trip to
+        # exactly their bf16 rounding, and large arrays split into parts
+        import ml_dtypes
+
+        from gym2048_tpu.utils.checkpoint import (
+            load_array_bf16,
+            save_array_bf16,
+        )
+
+        rng = np.random.default_rng(0)
+        arr = rng.normal(size=(1 << 16,)).astype(np.float32) * 1e4
+        paths = save_array_bf16(
+            tmp_path / "tbl", arr, meta={"steps": 7}, part_bytes=1 << 15
+        )
+        assert len(paths) > 2  # header + >=2 parts at this part size
+        back, meta = load_array_bf16(tmp_path / "tbl")
+        assert meta == {"steps": 7}
+        expect = arr.astype(ml_dtypes.bfloat16).astype(np.float32)
+        np.testing.assert_array_equal(back, expect)
+        rel = np.abs(back - arr) / np.maximum(np.abs(arr), 1e-9)
+        assert rel.max() < 0.004  # bf16 has ~2^-8 relative precision
+
 
 class TestMetrics:
     def test_jsonl_logging(self, tmp_path):
