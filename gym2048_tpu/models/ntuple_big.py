@@ -249,58 +249,74 @@ class NTupleNetwork:
         return _tc_combine(table, tc_e, tc_a, sums, absums, cnts, alpha)
 
     def _flat_updates(self, boards, w_board, valid):
-        """Common scatter prep: flat indices (with masked boards redirected
-        to the out-of-bounds drop sentinel) + per-occurrence weights."""
+        """Common scatter prep: flat indices + per-occurrence weights,
+        plus the valid mask broadcast to occurrences (``None`` when no
+        mask). Masking happens on the CHANNEL VALUES, not by index
+        redirection: every channel of a masked occurrence is zeroed and
+        its index clamped to 0, so scatters can promise in-bounds
+        indices (measured ~5% faster than the OOB-drop sentinel) while
+        entry 0 only ever receives exact zeros — including a zero COUNT,
+        which keeps the count-normalised mean unaffected."""
         n = boards.shape[0]
         idx = self.indices_batch(boards).reshape(-1)
         w = jnp.broadcast_to(
             w_board[:, None], (n, self.n_features)
         ).reshape(-1)
+        keep = None
         if valid is not None:
             keep = jnp.broadcast_to(
                 valid[:, None], (n, self.n_features)
             ).reshape(-1)
-            idx = jnp.where(keep, idx, self.table_size)  # scatter drops
-        return idx, w
+            idx = jnp.where(keep, idx, 0)
+        return idx, w, keep
 
     def _scatter2(self, boards, w_board, valid):
-        idx, w = self._flat_updates(boards, w_board, valid)
+        idx, w, keep = self._flat_updates(boards, w_board, valid)
         payloads = (w, jnp.ones_like(w))
-        return self._scatter_add(idx, payloads)
+        return self._scatter_add(idx, payloads, keep)
 
     def _scatter3(self, boards, w_board, valid):
-        idx, w = self._flat_updates(boards, w_board, valid)
+        idx, w, keep = self._flat_updates(boards, w_board, valid)
         payloads = (w, jnp.abs(w), jnp.ones_like(w))
-        return self._scatter_add(idx, payloads)
+        return self._scatter_add(idx, payloads, keep)
 
-    def _scatter_add(self, idx, payloads):
+    def _scatter_add(self, idx, payloads, keep=None):
         """Scatter-add ``len(payloads)`` scalar channels at the shared
-        flat ``idx`` (the drop sentinel ``table_size`` falls out of
-        bounds in both layouts).
+        flat ``idx`` (masked occurrences arrive as index 0 + ``keep``
+        False; their channels zero out below).
 
-        ``update_impl="scatter"``: one XLA scatter with a stacked
-        channel payload — serial per index on XLA:TPU.
+        ``update_impl="scatter"``: one SEPARATE in-bounds (N,) scatter
+        per channel. Measured on v5e (262k indices): a single stacked
+        (N,3)-payload scatter costs 26.3 ms while 3 one-channel scatters
+        cost 11.3 ms total — XLA:TPU lowers multi-element update windows
+        ~4x worse than scalar ones, so channel-splitting is the fast
+        formulation (docs/PERF.md round-4 study).
         ``update_impl="rows"``: each update becomes a 128-lane one-hot
         ROW (``w * onehot(idx % 128)``) scatter-added at row
-        ``idx // 128`` — 128x the arithmetic, but the per-index serial
-        loop now moves lane-aligned tiles instead of scalars.
+        ``idx // 128`` — measured NEUTRAL vs the stacked scatter (the
+        per-index serial cost dominates); kept for study.
         """
         k = len(payloads)
+        if keep is not None:
+            payloads = tuple(
+                jnp.where(keep, p, 0.0) for p in payloads
+            )
         if self.update_impl == "rows":
             hi, lo = idx // _LANES, idx % _LANES
             oh = jax.nn.one_hot(lo, _LANES, dtype=jnp.float32)  # (N, 128)
             payload = jnp.stack([w[:, None] * oh for w in payloads], 1)
             acc = jnp.zeros(
                 (self.table_size // _LANES, k, _LANES), jnp.float32
-            ).at[hi].add(payload, mode="drop")
+            ).at[hi].add(payload)
             return tuple(
                 acc[:, c, :].reshape(self.table_size) for c in range(k)
             )
-        payload = jnp.stack(payloads, -1)  # (N, k)
-        acc = jnp.zeros((self.table_size, k), jnp.float32).at[idx].add(
-            payload, mode="drop"
+        return tuple(
+            jnp.zeros((self.table_size,), jnp.float32).at[idx].add(
+                p, mode="promise_in_bounds"
+            )
+            for p in payloads
         )
-        return tuple(acc[:, c] for c in range(k))
 
 
 def make_network(

@@ -41,18 +41,22 @@ class TDConfig:
     init_value: float = 80_000.0  # optimistic init (encourages exploration)
     seed: int = 0
     chunk_steps: int = 256      # scan length per jitted chunk
-    # table-update implementation: "scatter" (XLA scatter-add; fast on CPU),
-    # "mxu" (one-hot matmul scatter on the TPU MXU — beats the ~16M
-    # updates/s XLA:TPU scatter ceiling by >10x, see ntuple.td_update_mxu),
-    # or "auto" (mxu on TPU, scatter elsewhere).
+    # table-update implementation: "scatter" (XLA scatter-add; for big
+    # nets this is the CHANNEL-SPLIT form — docs/PERF.md round-4 study),
+    # "mxu" (small net only: one-hot matmul scatter on the TPU MXU),
+    # "rows" (big nets: 128-lane row scatter, measured neutral), or
+    # "auto" (small net: mxu on TPU / scatter elsewhere; big nets:
+    # scatter).
     update_impl: str = "auto"
     # value-lookup implementation: "gather" (XLA gather; fast on CPU),
     # "mxu" (split-bf16 one-hot matmuls, exact to ~2^-16 — XLA:TPU gather
     # sustains only ~135M idx/s and left the chunk gather-bound),
     # "mxu_bf16" (single-pass bf16 lookup: ~0.4% value noise, half the
     # value FLOPs, 966k vs 622k steps/s — but measured ~2k eval score
-    # below exact-split TC training at 150M steps, docs/PERF.md), or
-    # "auto" (exact "mxu" on TPU, gather elsewhere).
+    # below exact-split TC training at 150M steps, docs/PERF.md),
+    # "rows" (big nets: 128-lane row gather + one-hot lane select,
+    # exact), or "auto" (small net: exact "mxu" on TPU / gather
+    # elsewhere; big nets: rows on TPU / gather elsewhere).
     value_impl: str = "auto"
     # temporal-coherence learning (Beal & Smith): per-entry adaptive rates
     # |sum(deltas)| / sum(|deltas|) replace the global alpha anneal — set
@@ -144,11 +148,15 @@ class TDTrainer:
             vimpl = self.cfg.value_impl
             if vimpl in ("auto", "mxu", "mxu_bf16"):
                 # the small-net MXU modes don't exist at HBM scale; the
-                # TPU-fast big-net form is the 128-lane row reformulation
+                # row form measured slightly ahead of the scalar gather
+                # on v5e inside full chunks (174k vs 170k steps/s)
                 vimpl = "rows" if on_tpu else "gather"
             uimpl = self.cfg.update_impl
             if uimpl in ("auto", "mxu"):
-                uimpl = "rows" if on_tpu else "scatter"
+                # channel-split scalar scatters are the fast update form
+                # on TPU (11.3 ms vs 26.3 ms stacked / 27.0 ms rows at
+                # 262k indices — docs/PERF.md round-4 study)
+                uimpl = "scatter"
             self._net = ntuple_big.make_network(
                 self.cfg.arch, self.cfg.n_vals, self.cfg.thresholds,
                 value_impl=vimpl, update_impl=uimpl,
