@@ -1,0 +1,52 @@
+"""Depth-3 (beam) eval over the committed bf16 4x6 table, 128 games —
+the round-3 orphaned measurement (VERDICT item 6a).
+Records docs/curves/td_4x6_tc_r4_d3_beam_eval.json."""
+import collections
+import json
+import sys
+import time
+
+for _mod in list(sys.modules):
+    if _mod.startswith("gym2048_tpu"):
+        del sys.modules[_mod]
+
+import jax
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from gym2048_tpu.agents import expectimax
+from gym2048_tpu.train import td
+from gym2048_tpu.utils.checkpoint import load_array_bf16
+
+assert jax.default_backend() == "tpu"
+
+table_bf16, ameta = load_array_bf16("/root/repo/docs/curves/ntuple_4x6_tc_r4")
+table = jax.numpy.asarray(table_bf16)
+net = td.TDTrainer(td.TDConfig(arch="4x6", tc=True))._net
+pol = expectimax.make_afterstate_policy(
+    lambda t, bs: net.value_batch(t, bs), depth=3, parametrised=True,
+    beam=True,
+)
+t0 = time.time()
+res = expectimax.play_policy(
+    pol, 128, jax.random.PRNGKey(99), move_cap=30000, chunk_moves=16,
+    params=table,
+)
+wall = time.time() - t0
+moves = sum(e["moves"] for e in res["Episodes"])
+dist = collections.Counter(e["highest"] for e in res["Episodes"])
+out = {
+    "agent": "depth-3 (beam) afterstate expectimax over the committed "
+             "bf16 4x6 TC table (round 4, 1B steps)",
+    "artifact": "docs/curves/ntuple_4x6_tc_r4.*",
+    "episodes": 128, "seed": 99, "steps": ameta["steps"], "beam": True,
+    "eval_wall_s": round(wall, 1),
+    "searched_moves_per_s": round(moves / wall, 1),
+    "Average score": res["Average score"],
+    "Max score": res["Max score"],
+    "Highest tile": res["Highest tile"],
+    "tile_distribution": dict(sorted(dist.items())),
+}
+with open("/root/repo/docs/curves/td_4x6_tc_r4_d3_beam_eval.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))

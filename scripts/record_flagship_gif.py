@@ -1,0 +1,63 @@
+"""Record the flagship episode GIF from the committed bf16 4x6 TC table.
+
+Runs entirely on CPU (the greedy afterstate policy is 4 x 32 table
+lookups per move — no chip needed), so the artifact can be regenerated
+from the committed table alone. Writes docs/curves/flagship_4x6_episode.gif.
+
+Usage: python scripts/record_flagship_gif.py [artifact_prefix] [seed]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, "/root/repo")
+
+from gym2048_tpu.core import rules  # noqa: E402
+from gym2048_tpu.models import ntuple_big  # noqa: E402
+from gym2048_tpu.ops import obs as obs_ops  # noqa: E402
+from gym2048_tpu.utils.checkpoint import load_array_bf16  # noqa: E402
+from gym2048_tpu.utils.video import record_episode_gif  # noqa: E402
+
+
+def main() -> None:
+    prefix = (
+        sys.argv[1] if len(sys.argv) > 1
+        else "/root/repo/docs/curves/ntuple_4x6_tc_r4"
+    )
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    table_np, meta = load_array_bf16(prefix)
+    table = jnp.asarray(table_np)
+    net = ntuple_big.make_network(
+        meta.get("arch", "4x6"), meta.get("n_vals", 16),
+        tuple(meta.get("thresholds", ())),
+    )
+
+    @jax.jit
+    def greedy(table, board):
+        moved, scores, legal = rules.move_all(board)
+        v = net.value_batch(table, moved)
+        q = jnp.where(legal, scores.astype(jnp.float32) + v, -jnp.inf)
+        return q.argmax()
+
+    def choose(observation):
+        board = obs_ops.unstack_env(jnp.asarray(observation))
+        return int(greedy(table, board))
+
+    stats = record_episode_gif(
+        choose, "/root/repo/docs/curves/flagship_4x6_episode.gif",
+        seed=seed, max_steps=30000, frame_stride=30,
+    )
+    print(json.dumps({k: v for k, v in stats.items()}))
+
+
+if __name__ == "__main__":
+    main()
