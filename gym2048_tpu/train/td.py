@@ -464,11 +464,14 @@ class TDTrainer:
                 )
                 history.append(entry)
                 if log_fn is not None:
+                    # rate over THIS call only (entry.steps is cumulative
+                    # across resumes; entry.wall is not)
+                    run_steps = (c + 1 - start_chunk) * steps_per_chunk
                     log_fn(
                         f"steps {entry.steps} ep_score "
                         f"{entry.ep_score_mean:.0f} highest "
                         f"{entry.highest_tile_max} alpha {alpha:.3f} "
-                        f"({entry.steps / entry.wall / 1e3:.0f}k steps/s)"
+                        f"({run_steps / entry.wall / 1e3:.0f}k steps/s)"
                     )
         return state, history
 
