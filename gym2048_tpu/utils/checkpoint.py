@@ -100,6 +100,7 @@ def save_array_bf16(
     arr,
     meta: dict | None = None,
     part_bytes: int = 90_000_000,
+    delta_stages: int = 1,
 ) -> list[Path]:
     """Persist a large f32 array as commit-sized artifact files.
 
@@ -120,7 +121,17 @@ def save_array_bf16(
     prefix = Path(prefix)
     prefix.parent.mkdir(parents=True, exist_ok=True)
     a = np.asarray(arr)
-    raw = a.astype(ml_dtypes.bfloat16).tobytes()
+    bf = a.astype(ml_dtypes.bfloat16)
+    if delta_stages > 1:
+        # multi-stage tables (arXiv:1604.05085) start as tiled copies of
+        # one stage and only diverge where later stages are visited —
+        # XORing stages k>0 against stage 0 bitwise (in bf16 space)
+        # zeroes every untouched entry, which zlib then crushes
+        u = bf.reshape(delta_stages, -1).view(np.uint16)
+        u = np.concatenate([u[:1], u[1:] ^ u[:1]])
+        raw = u.tobytes()
+    else:
+        raw = bf.tobytes()
     comp = zlib.compress(raw, level=6)
     parts = [
         comp[i: i + part_bytes] for i in range(0, len(comp), part_bytes)
@@ -136,6 +147,7 @@ def save_array_bf16(
         "source_dtype": str(a.dtype),
         "n_parts": len(parts),
         "raw_bytes": len(raw),
+        "delta_stages": delta_stages,
         "meta": meta or {},
     }
     hp = prefix.with_name(prefix.name + ".meta.json")
@@ -162,7 +174,13 @@ def load_array_bf16(prefix: str | Path) -> tuple[Any, dict]:
     )
     raw = zlib.decompress(comp)
     assert len(raw) == header["raw_bytes"]
-    a = np.frombuffer(raw, dtype=ml_dtypes.bfloat16).reshape(
-        header["shape"]
-    )
+    n_stages = header.get("delta_stages", 1)
+    if n_stages > 1:
+        u = np.frombuffer(raw, dtype=np.uint16).reshape(n_stages, -1)
+        u = np.concatenate([u[:1], u[1:] ^ u[:1]])  # XOR is its own inverse
+        a = u.view(ml_dtypes.bfloat16).reshape(header["shape"])
+    else:
+        a = np.frombuffer(raw, dtype=ml_dtypes.bfloat16).reshape(
+            header["shape"]
+        )
     return a.astype(np.float32), header["meta"]

@@ -195,6 +195,33 @@ class TestCheckpoint:
         rel = np.abs(back - arr) / np.maximum(np.abs(arr), 1e-9)
         assert rel.max() < 0.004  # bf16 has ~2^-8 relative precision
 
+    def test_bf16_artifact_stage_delta(self, tmp_path):
+        # staged tables: stage-delta XOR coding must round-trip exactly
+        # and compress near-identical stages far better than plain bf16
+        import ml_dtypes
+
+        from gym2048_tpu.utils.checkpoint import (
+            load_array_bf16,
+            save_array_bf16,
+        )
+
+        rng = np.random.default_rng(1)
+        stage0 = rng.normal(size=(1 << 15,)).astype(np.float32) * 1e3
+        stages = np.tile(stage0, 4)
+        stages[1 << 15: (1 << 15) + 100] += 5.0  # small stage-1 divergence
+        save_array_bf16(tmp_path / "plain", stages)
+        save_array_bf16(tmp_path / "delta", stages, delta_stages=4)
+        back, _ = load_array_bf16(tmp_path / "delta")
+        expect = stages.astype(ml_dtypes.bfloat16).astype(np.float32)
+        np.testing.assert_array_equal(back, expect)
+        plain = sum(
+            p.stat().st_size for p in tmp_path.glob("plain.p*")
+        )
+        delta = sum(
+            p.stat().st_size for p in tmp_path.glob("delta.p*")
+        )
+        assert delta < plain / 2  # tiled stages compress away
+
 
 class TestMetrics:
     def test_jsonl_logging(self, tmp_path):
