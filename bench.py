@@ -213,6 +213,12 @@ def bench_ppo(reference_shape: bool) -> float:
 # flagship training loop broke, so the bench FAILS.
 PPO_PROD_FLOOR = 100_000
 PPO_REF_FLOOR = 2_000
+# TD floors: small net measured 622k (exact values) / 966k (bf16) on v5e;
+# the 4x6 TC big net measured 309k after the round-4 channel-split
+# scatter (was 170k). Floors sit well below measurement noise but far
+# above any formulation regression (e.g. the stacked-payload scatter).
+TD_FLOOR = 400_000
+TD_BIG_FLOOR = 230_000
 
 
 def main() -> int:
@@ -278,6 +284,20 @@ def main() -> int:
         print(
             f"FAIL: ppo_steps_per_s_reference_config {ppo_ref_rate:.0f} "
             f"below sanity floor {PPO_REF_FLOOR}",
+            file=sys.stderr,
+        )
+        return 1
+    if td_rate is not None and td_rate < TD_FLOOR:
+        print(
+            f"FAIL: td_train_steps_per_s {td_rate:.0f} below sanity "
+            f"floor {TD_FLOOR}",
+            file=sys.stderr,
+        )
+        return 1
+    if td_big_rate is not None and td_big_rate < TD_BIG_FLOOR:
+        print(
+            f"FAIL: td_big_4x6_tc_steps_per_s {td_big_rate:.0f} below "
+            f"sanity floor {TD_BIG_FLOOR} — big-net TD regressed",
             file=sys.stderr,
         )
         return 1
