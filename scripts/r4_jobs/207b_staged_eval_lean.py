@@ -1,9 +1,9 @@
-"""512-game greedy eval of the STAGED 4-stage 4x6 TC table (round-3
-VERDICT item 3 done-criterion: decisively beat the single-stage 148k).
-Also persists the staged table as a committed stage-delta bf16 artifact.
-Records docs/curves/td_4x6_tc_r4_staged_greedy_eval.json."""
+"""Staged-table persist + 512-game greedy eval, LEAN: the 3.2 GB train
+state stays on the HOST (pickle -> numpy); only the 1.07 GB table goes
+to the device, once, as the eval's parametrised argument."""
 import collections
 import json
+import pickle
 import sys
 import time
 
@@ -21,25 +21,34 @@ from gym2048_tpu.utils.checkpoint import save_array_bf16
 
 assert jax.default_backend() == "tpu"
 
-state, meta = td.load_train_state(
-    "/root/repo/artifacts/td_4x6_tc_r4_staged_state.pkl"
-)
+with open("/root/repo/artifacts/td_4x6_tc_r4_staged_state.pkl", "rb") as f:
+    blob = pickle.load(f)
+meta = blob["meta"]
+table_np = np.asarray(blob["variables"]["table"])
+del blob
 steps = meta["chunks_done"] * 8192 * 64
-print(f"staged table at +{steps} staged steps (base 1B)")
+print(f"staged table at +{steps} staged steps (host-side)", flush=True)
 
 paths = save_array_bf16(
     "/root/repo/docs/curves/ntuple_4x6_tc_r4_staged",
-    np.asarray(state["table"]),
+    table_np,
     meta={
         "arch": "4x6", "n_vals": 16, "thresholds": [11, 12, 13],
         "staged_steps": steps, "base_steps": 1000341504,
         "config": meta["config"],
-        "recipe": "scripts/r4_jobs/200_staged_init.py + "
-                  "tpu_bigtd_phases.py 5 <queue> 11,12,13",
+        "recipe": "scripts/r4_jobs/200_staged_init.py + staged warm "
+                  "phases (tpu_bigtd_phases.py 5 <queue> 11,12,13)",
     },
     delta_stages=4,
 )
 print("artifact:", [str(p) for p in paths], flush=True)
+
+# eval the bf16-rounded table (what the artifact actually holds)
+import ml_dtypes
+table = jax.numpy.asarray(
+    table_np.astype(ml_dtypes.bfloat16).astype(np.float32)
+)
+del table_np
 
 cfg = td.TDConfig(arch="4x6", tc=True, thresholds=(11, 12, 13))
 net = td.TDTrainer(cfg)._net
@@ -49,14 +58,15 @@ pol = expectimax.make_afterstate_policy(
 t0 = time.time()
 res = expectimax.play_policy(
     pol, 512, jax.random.PRNGKey(99), move_cap=30000, chunk_moves=512,
-    params=state["table"],
+    params=table,
 )
 wall = time.time() - t0
 dist = collections.Counter(e["highest"] for e in res["Episodes"])
 out = {
-    "agent": "greedy afterstate over the STAGED 4x6 TC table "
+    "agent": "greedy afterstate over the committed STAGED 4x6 TC table "
              "(4 stages, thresholds 11/12/13, weight-promoted from the "
-             "1B single-stage table + staged TC steps)",
+             "1B single-stage table + 500M staged TC steps)",
+    "artifact": "docs/curves/ntuple_4x6_tc_r4_staged.*",
     "episodes": 512, "seed": 99, "staged_steps": steps,
     "base_steps": 1000341504,
     "eval_wall_s": round(wall, 1),

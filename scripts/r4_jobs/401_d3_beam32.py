@@ -1,4 +1,4 @@
-"""Depth-3 (beam) eval over the committed bf16 4x6 table, 128 games —
+"""Depth-3 (beam) eval over the committed bf16 4x6 table, 32 games —
 the round-3 orphaned measurement (VERDICT item 6a).
 Records docs/curves/td_4x6_tc_r4_d3_beam_eval.json."""
 import collections
@@ -29,7 +29,7 @@ pol = expectimax.make_afterstate_policy(
 )
 t0 = time.time()
 res = expectimax.play_policy(
-    pol, 128, jax.random.PRNGKey(99), move_cap=30000, chunk_moves=16,
+    pol, 32, jax.random.PRNGKey(99), move_cap=30000, chunk_moves=16,
     params=table,
 )
 wall = time.time() - t0
@@ -39,7 +39,7 @@ out = {
     "agent": "depth-3 (beam) afterstate expectimax over the committed "
              "bf16 4x6 TC table (round 4, 1B steps)",
     "artifact": "docs/curves/ntuple_4x6_tc_r4.*",
-    "episodes": 128, "seed": 99, "steps": ameta["steps"], "beam": True,
+    "episodes": 32, "seed": 99, "steps": ameta["steps"], "beam": True,
     "eval_wall_s": round(wall, 1),
     "searched_moves_per_s": round(moves / wall, 1),
     "Average score": res["Average score"],
