@@ -68,22 +68,33 @@ def build_rollout(batch: int, length: int):
     return rollout
 
 
-def time_rollout(rollout, state, repeats: int) -> tuple[float, object]:
-    best = float("inf")
+def time_rollout(rollout, state, repeats: int) -> tuple[list, object]:
+    """Time ``repeats`` runs; returns (sorted per-run seconds, state)."""
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         state, checksum = rollout(state)
         float(checksum)  # device-to-host sync
-        best = min(best, time.perf_counter() - t0)
-    return best, state
+        times.append(time.perf_counter() - t0)
+    return sorted(times), state
 
 
 PALLAS_BATCH = 1048576
 PALLAS_BLOCK = 8192
 
 
-def bench_xla() -> tuple[float, float]:
-    """XLA-composed env path: (steps/s, scaling check ratio)."""
+SAMPLES = 5  # per-headline timing samples; report median + [min, max]
+
+
+def bench_xla() -> tuple[float, list, float]:
+    """XLA-composed env path: (median steps/s, [lo, hi] spread, ratio).
+
+    Round-4 lesson (VERDICT r5 item 5): a single best-of sample hid a
+    12% round-to-round drift in the headline, so both headline benches
+    now take ``SAMPLES`` timed runs and report the median with the
+    min..max spread — any future drift is attributable to chip/run
+    variance (inside the spread) vs a code regression (outside it).
+    """
     from gym2048_tpu.env import batched
 
     state = batched.reset(jax.random.PRNGKey(0), BATCH)
@@ -93,14 +104,20 @@ def bench_xla() -> tuple[float, float]:
     float(c)
     state, c = large(state)
     float(c)
-    t_small, state = time_rollout(small, state, repeats=3)
-    t_large, state = time_rollout(large, state, repeats=3)
+    ts_small, state = time_rollout(small, state, repeats=3)
+    ts_large, state = time_rollout(large, state, repeats=SAMPLES)
+    t_small, t_large = ts_small[0], ts_large[0]
     ratio = (t_small / T_SMALL) / max(t_large / T_LARGE, 1e-12)
-    return BATCH * T_LARGE / t_large, ratio
+    med = ts_large[len(ts_large) // 2]
+    spread = [
+        BATCH * T_LARGE / ts_large[-1], BATCH * T_LARGE / ts_large[0]
+    ]
+    return BATCH * T_LARGE / med, spread, ratio
 
 
-def bench_pallas() -> float:
-    """Fused Pallas rollout kernel (VMEM-resident boards): steps/s."""
+def bench_pallas() -> tuple[float, list]:
+    """Fused Pallas rollout kernel (VMEM-resident boards):
+    (median steps/s, [lo, hi] spread over ``SAMPLES`` runs)."""
     import jax.numpy as jnp
 
     from gym2048_tpu.core import pallas_step
@@ -116,12 +133,18 @@ def bench_pallas() -> float:
         return float(np.asarray(out[1]).sum())  # host sync
 
     run()  # compile+warm
-    best = float("inf")
-    for _ in range(3):
+    times = []
+    for _ in range(SAMPLES):
         t0 = time.perf_counter()
         run()
-        best = min(best, time.perf_counter() - t0)
-    return PALLAS_BATCH * T_LARGE / best
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    spread = [
+        PALLAS_BATCH * T_LARGE / times[-1],
+        PALLAS_BATCH * T_LARGE / times[0],
+    ]
+    return PALLAS_BATCH * T_LARGE / med, spread
 
 
 def bench_td() -> float:
@@ -223,8 +246,10 @@ TD_BIG_FLOOR = 230_000
 
 def main() -> int:
     on_tpu = jax.devices()[0].platform != "cpu"
-    xla_rate, ratio = bench_xla()
-    pallas_rate = bench_pallas() if on_tpu else None
+    xla_rate, xla_spread, ratio = bench_xla()
+    pallas_rate, pallas_spread = (
+        bench_pallas() if on_tpu else (None, None)
+    )
     td_rate = bench_td() if on_tpu else None
     td_big_rate = bench_td_big() if on_tpu else None
     ppo_prod_rate = bench_ppo(reference_shape=False) if on_tpu else None
@@ -242,9 +267,17 @@ def main() -> int:
                     "pallas_fused_steps_per_s": (
                         round(pallas_rate) if pallas_rate else None
                     ),
+                    "pallas_spread_steps_per_s": (
+                        [round(v) for v in pallas_spread]
+                        if pallas_spread else None
+                    ),
                     "pallas_batch": PALLAS_BATCH,
                     "xla_steps_per_s": round(xla_rate),
+                    "xla_spread_steps_per_s": [
+                        round(v) for v in xla_spread
+                    ],
                     "xla_batch": BATCH,
+                    "timing_samples": SAMPLES,
                     "scan_len": T_LARGE,
                     "td_train_steps_per_s": (
                         round(td_rate) if td_rate else None

@@ -347,6 +347,57 @@ def make_afterstate_policy(
     return policy
 
 
+def make_adaptive_policy(
+    value_fn: Callable[..., jax.Array],
+    k_deep: int,
+    deep_empty_max: int = 8,
+    beam: bool = True,
+) -> Callable[..., jax.Array]:
+    """Adaptive-depth afterstate expectimax: depth 2 everywhere, depth 3
+    only where it can matter.
+
+    The depth-3 tree (~17k leaf evals per board with ``beam``) costs ~33x
+    depth 2 (512), but its extra ply only changes decisions when the
+    board is *constrained* — on an open board the spawn expectation
+    averages over many safe continuations and the deep backup almost
+    always agrees with the shallow one (the standard adaptive-depth
+    observation of the 2048 search literature). So each lockstep move:
+
+    1. depth-2 Q-values for ALL boards (cheap, exact);
+    2. rank boards by danger (fewest empty cells), restricted to boards
+       that are still ACTIVE and at most ``deep_empty_max`` empties;
+    3. re-search the top ``k_deep`` boards at depth 3 (beam pruned) in a
+       compacted batch and overwrite their Q rows.
+
+    Per-move cost: ``B*512 + k_deep*17k`` leaf evals instead of
+    ``B*17k`` — with ``k_deep = B/8`` that is ~6x cheaper, ~10x+ once
+    finished games stop qualifying for the deep set (dead boards are
+    full and would otherwise hog it). This is what makes a 512-game
+    depth-3 eval of the staged flagship feasible on one chip
+    (VERDICT round 4, item 1).
+
+    Returned policy signature: ``policy(params, boards, active)`` with
+    ``active`` the (B,) live-game mask — pass
+    ``play_policy(..., needs_active=True)``. ``value_fn(params, boards)``
+    as in the ``parametrised`` mode of :func:`make_afterstate_policy`.
+    """
+
+    def policy(params, boards: jax.Array, active: jax.Array) -> jax.Array:
+        b = boards.shape[0]
+        vf = lambda bs: value_fn(params, bs)
+        q2 = _afterstate_search(vf, boards, 2)
+        empties = (boards.reshape(b, 16) == 0).sum(-1)
+        eligible = active & (empties <= deep_empty_max)
+        danger = jnp.where(eligible, -empties, -(10 ** 6))
+        _, top = jax.lax.top_k(danger, min(k_deep, b))
+        q3 = _afterstate_search(vf, boards[top], 3, beam)
+        take = eligible[top][:, None]
+        q = q2.at[top].set(jnp.where(take, q3, q2[top]))
+        return q.argmax(-1).astype(jnp.int32)
+
+    return policy
+
+
 def play_policy(
     policy: Callable[..., jax.Array],
     episodes: int,
@@ -354,9 +405,15 @@ def play_policy(
     move_cap: int = 20000,
     chunk_moves: int = 128,
     params=None,
+    needs_active: bool = False,
 ) -> dict:
     """Play ``episodes`` full games in lockstep with an arbitrary batched
     policy ``(B, 4, 4) boards -> (B,) actions``.
+
+    ``needs_active=True`` passes the live-game mask as a trailing
+    argument (``policy(boards, active)`` / ``policy(params, boards,
+    active)``) — adaptive policies use it to spend deep search only on
+    games still running (:func:`make_adaptive_policy`).
 
     The game loop runs as HOST-CHUNKED jitted scans of ``chunk_moves``
     steps each, not one device-resident ``while_loop`` over the whole
@@ -391,9 +448,12 @@ def play_policy(
     def run_chunk(carry, params):
         def body(c, _):
             state, total, moves, high, active = c
+            pol_args = (state.board, active) if needs_active else (
+                state.board,
+            )
             action = (
-                policy(state.board) if params is None
-                else policy(params, state.board)
+                policy(*pol_args) if params is None
+                else policy(params, *pol_args)
             )
             state, ts = batched.step(state, action, cfg)
             total += jnp.where(active, ts.reward, 0.0)
@@ -473,6 +533,17 @@ def main(argv: list[str] | None = None) -> None:
         "(~4x fewer leaf evals; chance nodes stay exact)",
     )
     p.add_argument(
+        "--adaptive", type=int, default=0, metavar="K",
+        help="adaptive depth (table mode): depth 2 for all boards plus "
+        "depth-3 beam re-search of the K most constrained live boards "
+        "per move (make_adaptive_policy; --depth is ignored)",
+    )
+    p.add_argument(
+        "--deep-empty-max", type=int, default=8,
+        help="adaptive mode: only boards with at most this many empty "
+        "cells qualify for the deep re-search",
+    )
+    p.add_argument(
         "--chunk-moves", type=int, default=128,
         help="jitted moves per host chunk (lower for deep searches so no "
         "single device program runs for minutes)",
@@ -513,12 +584,19 @@ def main(argv: list[str] | None = None) -> None:
             else:
                 params = table
                 value_fn = lambda t, bs: ntuple.value_batch(t, bs)
-        result = play_policy(
-            make_afterstate_policy(
+        if args.adaptive:
+            pol = make_adaptive_policy(
+                value_fn, args.adaptive, args.deep_empty_max,
+            )
+        else:
+            pol = make_afterstate_policy(
                 value_fn, args.depth, parametrised=True, beam=args.beam
-            ),
+            )
+        result = play_policy(
+            pol,
             args.episodes, jax.random.PRNGKey(args.seed), args.move_cap,
             chunk_moves=args.chunk_moves, params=params,
+            needs_active=bool(args.adaptive),
         )
     else:
         result = play_batched(

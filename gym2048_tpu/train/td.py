@@ -336,7 +336,7 @@ class TDTrainer:
         is skipped entirely and results are bit-identical to
         :meth:`train_chunk`.
         """
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         from gym2048_tpu.parallel.mesh import DATA_AXIS
@@ -388,7 +388,7 @@ class TDTrainer:
 
         sharded = shard_map(
             local_chunk, mesh=mesh, in_specs=in_specs,
-            out_specs=out_specs, check_rep=False,
+            out_specs=out_specs, check_vma=False,
         )
         return jax.jit(sharded, donate_argnums=0)
 
@@ -735,6 +735,18 @@ def main(argv: list[str] | None = None) -> None:
         "gym2048_tpu.parallel.init_distributed env vars for multi-host)",
     )
     args = p.parse_args(argv)
+
+    if args.arch == "small":
+        # the "rows" paths are the big-net 128-lane forms; catch the
+        # mismatch here with a clear message instead of the trainer's
+        # bare AssertionError
+        if args.update_impl == "rows" or args.value_impl == "rows":
+            p.error(
+                '--update-impl/--value-impl "rows" applies to the big-net '
+                'architectures only (--arch 4x6/5x6/4x6_4x4); the small '
+                'net supports auto/scatter/mxu updates and '
+                'auto/gather/mxu/mxu_bf16 values'
+            )
 
     cfg = TDConfig(
         total_steps=args.steps, n_envs=args.envs, alpha=args.alpha,

@@ -39,7 +39,7 @@ dist = collections.Counter(e["highest"] for e in res["Episodes"])
 out = {
     "agent": "depth-2 afterstate expectimax over the committed STAGED "
              "4x6 TC table (4 stages, 1B base + 500M staged steps)",
-    "artifact": "docs/curves/ntuple_4x6_tc_r4.*",
+    "artifact": "docs/curves/ntuple_4x6_tc_r4_staged.*",
     "episodes": 512, "seed": 99, "steps": ameta.get("staged_steps"),
     "eval_wall_s": round(wall, 1),
     "searched_moves_per_s": round(moves / wall, 1),

@@ -33,7 +33,10 @@ def main() -> None:
         sys.argv[1] if len(sys.argv) > 1
         else "/root/repo/docs/curves/ntuple_4x6_tc_r4"
     )
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    # default matches the committed flagship_4x6_episode.gif (seed 5 —
+    # docs/curves/README.md), so the documented no-arg regeneration
+    # reproduces that exact episode
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     table_np, meta = load_array_bf16(prefix)
     table = jnp.asarray(table_np)
     net = ntuple_big.make_network(

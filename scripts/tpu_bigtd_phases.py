@@ -9,6 +9,13 @@ counter) and each phase RESUMES FROM THE CHECKPOINT FILE, never from the
 runner's shared namespace, so a worker crash or runner restart loses at
 most one phase.
 
+Durability limitation: the train-state checkpoints live in gitignored
+``artifacts/`` (multi-GB with TC accumulators — too big to commit), so a
+full SESSION wipe mid-run still loses the in-progress run; only finished
+tables persisted to docs/curves/ via ``checkpoint.save_array_bf16``
+survive. Persist (and commit) a bf16 table snapshot between phases if a
+run must survive a session boundary.
+
 Usage:
     python scripts/tpu_bigtd_phases.py [n_phases] [queue_dir] [thresholds]
 then watch <queue>/1??_bigtd_*.py.out and docs/curves/td_4x6_tc_run.jsonl.

@@ -394,3 +394,114 @@ class TestDepth3AndParams:
             zero_fn, depth=3, parametrised=True, beam=True
         )
         assert int(p3(jnp.zeros(4), fixture)[0]) in (rules.LEFT, rules.RIGHT)
+
+
+class TestAdaptivePolicy:
+    """make_adaptive_policy: depth 2 everywhere + depth-3 beam on the
+    k most constrained live boards (the round-5 search-throughput fix)."""
+
+    def _vf(self):
+        from gym2048_tpu.models import ntuple
+
+        rng = np.random.default_rng(11)
+        table = jnp.asarray(
+            (rng.normal(size=17 * ntuple.TABLE_SIZE) * 100).astype(
+                np.float32
+            )
+        )
+        return table, lambda t, bs: ntuple.value_batch(t, bs)
+
+    def test_everyone_deep_matches_depth3_beam(self):
+        # k_deep = B and no empties restriction: every live board takes
+        # the depth-3 beam path, so actions must equal the plain
+        # depth-3 beam policy's
+        table, vf = self._vf()
+        rng = np.random.default_rng(12)
+        boards = jnp.asarray(rng.integers(0, 7, size=(6, 4, 4)), jnp.int8)
+        active = jnp.ones(6, bool)
+        adaptive = jax.jit(
+            expectimax.make_adaptive_policy(vf, 6, deep_empty_max=16)
+        )
+        plain = jax.jit(
+            expectimax.make_afterstate_policy(
+                vf, depth=3, parametrised=True, beam=True
+            )
+        )
+        np.testing.assert_array_equal(
+            np.asarray(adaptive(table, boards, active)),
+            np.asarray(plain(table, boards)),
+        )
+
+    def test_no_eligible_matches_depth2(self):
+        # deep_empty_max = -1 disqualifies every board: pure depth 2
+        table, vf = self._vf()
+        rng = np.random.default_rng(13)
+        boards = jnp.asarray(rng.integers(0, 7, size=(6, 4, 4)), jnp.int8)
+        active = jnp.ones(6, bool)
+        adaptive = jax.jit(
+            expectimax.make_adaptive_policy(vf, 3, deep_empty_max=-1)
+        )
+        d2 = jax.jit(
+            expectimax.make_afterstate_policy(vf, depth=2, parametrised=True)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(adaptive(table, boards, active)),
+            np.asarray(d2(table, boards)),
+        )
+
+    def test_deep_set_prefers_fullest_live_boards(self):
+        # one nearly-full live board and one open board, k_deep=1: only
+        # the full board's row may differ from depth-2; the open board's
+        # action must match depth-2 exactly
+        table, vf = self._vf()
+        full = np.array(
+            [[1, 2, 3, 4], [5, 6, 7, 8], [9, 10, 1, 2], [3, 4, 5, 0]]
+        )
+        open_b = np.zeros((4, 4))
+        open_b[0, 0], open_b[0, 1] = 1, 1
+        boards = jnp.asarray(np.stack([open_b, full]), jnp.int8)
+        active = jnp.ones(2, bool)
+        adaptive = expectimax.make_adaptive_policy(vf, 1, deep_empty_max=16)
+        d2 = expectimax.make_afterstate_policy(vf, depth=2, parametrised=True)
+        a_ad = np.asarray(adaptive(table, boards, active))
+        a_d2 = np.asarray(d2(table, boards))
+        assert a_ad[0] == a_d2[0]
+        # dead boards never take a deep slot: with the full board marked
+        # inactive and an empties threshold the open board fails, nothing
+        # qualifies and the adaptive policy must match depth-2 everywhere
+        tight = expectimax.make_adaptive_policy(vf, 1, deep_empty_max=5)
+        active = jnp.asarray([True, False])
+        np.testing.assert_array_equal(
+            np.asarray(tight(table, boards, active)), a_d2
+        )
+
+    def test_play_policy_needs_active(self):
+        table, vf = self._vf()
+        res = expectimax.play_policy(
+            expectimax.make_adaptive_policy(vf, 2, deep_empty_max=10),
+            episodes=4, key=jax.random.PRNGKey(0), move_cap=200,
+            params=table, needs_active=True,
+        )
+        assert res["Average score"] >= 0.0
+        assert len(res["Episodes"]) == 4
+
+    def test_cli_adaptive(self, tmp_path, capsys):
+        import json
+
+        from gym2048_tpu.models import ntuple
+        from gym2048_tpu.utils.checkpoint import save_model
+
+        rng = np.random.default_rng(0)
+        path = str(tmp_path / "table.pkl")
+        save_model(path, {
+            "table": (rng.normal(size=17 * ntuple.TABLE_SIZE) * 100).astype(
+                np.float32
+            )
+        })
+        expectimax.main([
+            "--episodes", "2", "--adaptive", "1", "--move-cap", "40",
+            "--table", path, "--chunk-moves", "20",
+        ])
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["episodes"] == 2
+        assert res["Average score"] >= 0.0
