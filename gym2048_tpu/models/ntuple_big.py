@@ -248,6 +248,35 @@ class NTupleNetwork:
         sums, absums, cnts = self._scatter3(boards, w0, valid)
         return _tc_combine(table, tc_e, tc_a, sums, absums, cnts, alpha)
 
+    def tc_accumulate(
+        self,
+        pending: tuple[jax.Array, jax.Array, jax.Array],
+        boards: jax.Array,
+        deltas: jax.Array,
+        valid: jax.Array | None = None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Scatter-add one step's TC statistics into carried ``pending``
+        ``(sums, absums, counts)`` buffers WITHOUT touching the table —
+        the accumulation half of *delayed* temporal-coherence learning
+        (arXiv:1604.05085: apply the combine every k steps instead of
+        every step). The dense table-sized combine is the staged-table
+        rate killer (it scales with ``n_stages`` x table; docs/PERF.md
+        round-4 tail), while this per-step cost stays proportional to
+        the INDEX count only. Combine later with
+        :func:`gym2048_tpu.models.ntuple._tc_combine` on the accumulated
+        buffers — exactly equivalent to a single TC update of the
+        concatenated steps (additivity is tested in
+        tests/test_ntuple_big.py)."""
+        w0 = (8.0 / self.n_features) * deltas
+        idx, w, keep = self._flat_updates(boards, w0, valid)
+        payloads = (w, jnp.abs(w), jnp.ones_like(w))
+        if keep is not None:
+            payloads = tuple(jnp.where(keep, p, 0.0) for p in payloads)
+        return tuple(
+            acc.at[idx].add(p, mode="promise_in_bounds")
+            for acc, p in zip(pending, payloads)
+        )
+
     def _flat_updates(self, boards, w_board, valid):
         """Common scatter prep: flat indices + per-occurrence weights,
         plus the valid mask broadcast to occurrences (``None`` when no

@@ -74,6 +74,24 @@ class TDConfig:
     # multi-stage table thresholds (max-tile exponents, arXiv:1604.05085),
     # e.g. (11, 12) = separate tables before 2048 / 2048..4095 / from 4096
     thresholds: tuple[int, ...] = ()
+    # delayed TC learning (arXiv:1604.05085): apply the dense table-sized
+    # TC combine every k steps, scatter-accumulating the (sums, |sums|,
+    # counts) statistics in between. 1 = combine every step (the round-4
+    # behaviour). The dense combine is what makes STAGED training slow
+    # (it scales with n_stages x table size — docs/PERF.md); k=8 removes
+    # ~7/8 of that cost at the price of value lookups being up to k
+    # steps stale (the chunk-sync sharded mode already tolerates
+    # chunk_steps-stale tables). Big-net TC with scatter updates only;
+    # chunk_steps must be divisible by it.
+    tc_every: int = 1
+    # carousel shaping (arXiv:1604.05085): probability that a finished
+    # env restarts from a recorded stage-entry board instead of a fresh
+    # one, so late stages see training data in proportion to this knob
+    # rather than to how rarely full games reach them. 0 = off.
+    # Requires a staged big net (thresholds non-empty).
+    carousel: float = 0.0
+    # stage-entry reservoir capacity per stage (random-replacement)
+    carousel_slots: int = 256
 
 
 def _fresh_boards(key: jax.Array, n: int) -> jax.Array:
@@ -125,6 +143,44 @@ def _greedy_batch(value_fn, boards: jax.Array):
     return a, after, r, v_after, legal.any(-1)
 
 
+def _carousel_record(car_b, car_f, st_prev, st_next, alive, next_state, key):
+    """Record stage-entry boards into the per-stage reservoir.
+
+    An env whose post-spawn state ``next_state`` entered a HIGHER stage
+    than its pre-move state writes that board into a random slot of its
+    new stage's row (random replacement — each slot is an approximately
+    uniform sample of that stage's observed entry states). Non-crossing
+    envs are redirected to the stage-0 row, which is never sampled
+    (stage-0 restarts are fresh boards by definition), so the scatter
+    needs no masking. Returns ``(car_b, car_f)`` updated.
+    """
+    n = st_prev.shape[0]
+    r = car_b.shape[1]
+    crossed = (st_next > st_prev) & alive
+    slot = (jax.random.uniform(key, (n,)) * r).astype(jnp.int32)
+    s_idx = jnp.where(crossed, st_next, 0)
+    car_b = car_b.at[s_idx, slot].set(next_state)
+    car_f = car_f.at[s_idx, slot].set(True)
+    return car_b, car_f
+
+
+def _carousel_restart(car_b, car_f, fresh, key, p):
+    """Restart boards for resetting envs: with probability ``p`` (and a
+    filled slot hit) a uniformly drawn stage>=1 reservoir board,
+    otherwise the fresh two-tile board. Returns ``(B, 4, 4)`` boards.
+    """
+    n = fresh.shape[0]
+    s, r = car_f.shape
+    ku, ks, kj = jax.random.split(key, 3)
+    use = jax.random.uniform(ku, (n,)) < p
+    s_pick = 1 + (
+        jax.random.uniform(ks, (n,)) * (s - 1)
+    ).astype(jnp.int32)
+    j_pick = (jax.random.uniform(kj, (n,)) * r).astype(jnp.int32)
+    ok = use & car_f[s_pick, j_pick]
+    return jnp.where(ok[:, None, None], car_b[s_pick, j_pick], fresh)
+
+
 @dataclasses.dataclass
 class TDLogEntry:
     steps: int
@@ -161,7 +217,27 @@ class TDTrainer:
                 self.cfg.arch, self.cfg.n_vals, self.cfg.thresholds,
                 value_impl=vimpl, update_impl=uimpl,
             )
+            if self.cfg.tc_every != 1:
+                assert self.cfg.tc and self.cfg.tc_every > 1, (
+                    "tc_every requires tc=True and a value > 1"
+                )
+                assert self.cfg.chunk_steps % self.cfg.tc_every == 0, (
+                    "chunk_steps must divide into tc_every windows",
+                    self.cfg.chunk_steps, self.cfg.tc_every,
+                )
+                assert self._net.update_impl == "scatter", (
+                    "delayed TC accumulates via the scatter update path"
+                )
+            if self.cfg.carousel:
+                assert self.cfg.thresholds, (
+                    "carousel shaping restarts from stage-entry states — "
+                    "configure multi-stage thresholds"
+                )
+                assert 0.0 < self.cfg.carousel <= 1.0, self.cfg.carousel
             return  # big nets use their own gather/scatter/row paths
+        assert self.cfg.tc_every == 1 and not self.cfg.carousel, (
+            "tc_every/carousel are big-net staged-training features"
+        )
         assert not self.cfg.thresholds, (
             "staged training is configured via promote_table for the small "
             "net; thresholds apply to big-net archs"
@@ -209,14 +285,28 @@ class TDTrainer:
         if cfg.tc:
             state["tc_e"] = jnp.zeros_like(table)
             state["tc_a"] = jnp.zeros_like(table)
+        if cfg.carousel:
+            s = self._net.n_stages
+            state["car_boards"] = jnp.zeros(
+                (s, cfg.carousel_slots, 4, 4), boards.dtype
+            )
+            state["car_filled"] = jnp.zeros(
+                (s, cfg.carousel_slots), bool
+            )
         return state
 
-    def _chunk_body(self, alpha):
+    def _chunk_body(self, alpha, defer_tc: bool = False):
         """The per-step scan body, shared by :meth:`train_chunk` (global
         batch) and :meth:`make_sharded_chunk` (per-device shard inside
         ``shard_map``). Shape-polymorphic in the env-batch axis: all batch
         sizes come from ``carry["boards"].shape[0]``, never from the config,
         so the same body runs on a device-local slice.
+
+        ``defer_tc``: accumulate the TC statistics into carried
+        ``tc_ps``/``tc_pa``/``tc_pc`` pending buffers instead of applying
+        the dense combine — the inner step of delayed TC learning
+        (:meth:`_scan_steps` applies the combine every ``cfg.tc_every``
+        steps).
         """
         cfg = self.cfg
 
@@ -224,7 +314,12 @@ class TDTrainer:
             n_envs = carry["boards"].shape[0]
             table = carry["table"]
             boards, score = carry["boards"], carry["score"]
-            key, kv, kp, kr = jax.random.split(carry["key"], 4)
+            if cfg.carousel:
+                key, kv, kp, kr, kcr, kcs = jax.random.split(
+                    carry["key"], 6
+                )
+            else:
+                key, kv, kp, kr = jax.random.split(carry["key"], 4)
 
             if self._net is not None:
                 value_fn = self._net.make_value_fn(table)
@@ -253,7 +348,15 @@ class TDTrainer:
                 self._net.td_update if self._net is not None
                 else self._td_update
             )
-            if cfg.tc:
+            if cfg.tc and defer_tc:
+                pend = (carry["tc_ps"], carry["tc_pa"], carry["tc_pc"])
+                (
+                    new["tc_ps"], new["tc_pa"], new["tc_pc"]
+                ) = self._net.tc_accumulate(
+                    pend, carry["prev_after"], delta,
+                    valid=carry["prev_valid"],
+                )
+            elif cfg.tc:
                 new["table"], new["tc_e"], new["tc_a"] = update_tc(
                     table, carry["tc_e"], carry["tc_a"], carry["prev_after"],
                     delta, alpha, valid=carry["prev_valid"],
@@ -278,6 +381,20 @@ class TDTrainer:
             highest = boards.max()
 
             fresh = _fresh_boards(kr, n_envs)
+            if cfg.carousel:
+                from gym2048_tpu.models.ntuple import stage_of_batch
+
+                thr = self._net.thresholds
+                car_b, car_f = _carousel_record(
+                    carry["car_boards"], carry["car_filled"],
+                    stage_of_batch(boards, thr),
+                    stage_of_batch(next_state, thr),
+                    alive, next_state, kcr,
+                )
+                fresh = _carousel_restart(
+                    car_b, car_f, fresh, kcs, cfg.carousel
+                )
+                new["car_boards"], new["car_filled"] = car_b, car_f
             new["boards"] = jnp.where(done[:, None, None], fresh, next_state)
             new["score"] = jnp.where(done, 0.0, score)
             new["prev_after"] = after
@@ -290,6 +407,50 @@ class TDTrainer:
 
         return body
 
+    def _scan_steps(self, carry, alpha, length):
+        """Scan ``length`` TD steps. With ``cfg.tc_every > 1`` (delayed TC,
+        arXiv:1604.05085) the scan nests: inner scans of ``tc_every``
+        steps scatter-accumulate the TC statistics into table-sized
+        pending buffers, and the dense combine runs once per window —
+        the buffers live only inside this call (they are zero at every
+        window boundary), so the training-state layout, checkpoints and
+        sharding specs are unchanged.
+        """
+        cfg = self.cfg
+        if not (cfg.tc and cfg.tc_every > 1):
+            return jax.lax.scan(
+                self._chunk_body(alpha), carry, None, length=length
+            )
+        from gym2048_tpu.models.ntuple import _tc_combine
+
+        k = cfg.tc_every
+        assert length % k == 0, (length, k)
+        inner = self._chunk_body(alpha, defer_tc=True)
+
+        def window(c, _):
+            c, stats = jax.lax.scan(inner, c, None, length=k)
+            c = dict(c)
+            c["table"], c["tc_e"], c["tc_a"] = _tc_combine(
+                c["table"], c["tc_e"], c["tc_a"],
+                c["tc_ps"], c["tc_pa"], c["tc_pc"], alpha,
+            )
+            for p in ("tc_ps", "tc_pa", "tc_pc"):
+                c[p] = jnp.zeros_like(c[p])
+            return c, stats
+
+        carry = dict(carry)
+        for p in ("tc_ps", "tc_pa", "tc_pc"):
+            carry[p] = jnp.zeros_like(carry["table"])
+        carry, stats = jax.lax.scan(
+            window, carry, None, length=length // k
+        )
+        for p in ("tc_ps", "tc_pa", "tc_pc"):
+            del carry[p]
+        stats = jax.tree.map(
+            lambda s: s.reshape((length,) + s.shape[2:]), stats
+        )
+        return carry, stats
+
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_chunk(self, state: dict, alpha: jax.Array):
         """``cfg.chunk_steps`` TD steps over all envs, one device program.
@@ -300,9 +461,8 @@ class TDTrainer:
         per move — a one-step-delayed update with ``prev_v`` one scatter-add
         stale, the standard tradeoff in batched TD implementations.
         """
-        new_state, (n_done, done_score, highest) = jax.lax.scan(
-            self._chunk_body(alpha), dict(state), None,
-            length=self.cfg.chunk_steps,
+        new_state, (n_done, done_score, highest) = self._scan_steps(
+            dict(state), alpha, self.cfg.chunk_steps
         )
         metrics = {
             "episodes": n_done.sum(),
@@ -347,8 +507,19 @@ class TDTrainer:
         state_keys = {"table", "boards", "score", "prev_after", "prev_v",
                       "prev_valid", "key"} | ({"tc_e", "tc_a"} if cfg.tc
                                               else set())
+        if cfg.carousel:
+            # each device keeps its own reservoir shard over the SLOT
+            # axis (reservoir writes are not additive, so they cannot
+            # ride the delta-psum merge; a per-device reservoir fed by
+            # the local env shard is semantically the same sampler)
+            assert cfg.carousel_slots % n_data == 0, (
+                cfg.carousel_slots, n_data
+            )
+            state_keys |= {"car_boards", "car_filled"}
 
         def spec(k):
+            if k in ("car_boards", "car_filled"):
+                return P(None, DATA_AXIS)
             return P(DATA_AXIS) if k in _BATCH_KEYS else P()
 
         in_specs = ({k: spec(k) for k in state_keys}, P())
@@ -364,9 +535,8 @@ class TDTrainer:
                 local["key"] = jax.random.fold_in(
                     state["key"], jax.lax.axis_index(DATA_AXIS)
                 )
-            new, (n_done, done_score, highest) = jax.lax.scan(
-                self._chunk_body(alpha), local, None,
-                length=cfg.chunk_steps,
+            new, (n_done, done_score, highest) = self._scan_steps(
+                local, alpha, cfg.chunk_steps
             )
             if n_data > 1:
                 # merge the chunk's local table/accumulator deltas (all
@@ -552,13 +722,21 @@ def shard_td_state(state: dict, mesh) -> dict:
     * :meth:`TDTrainer.make_sharded_chunk` — chunk-synchronous local TD,
       one table psum per ``chunk_steps`` steps; the scalable mode.
     """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
     from gym2048_tpu.parallel import replicate, shard_batch
+    from gym2048_tpu.parallel.mesh import DATA_AXIS
 
     data, rep = shard_batch(mesh), replicate(mesh)
-    return {
-        k: jax.device_put(v, data if k in _BATCH_KEYS else rep)
-        for k, v in state.items()
-    }
+    slots = NamedSharding(mesh, P(None, DATA_AXIS))  # carousel reservoirs
+
+    def placement(k):
+        if k in ("car_boards", "car_filled"):
+            return slots
+        return data if k in _BATCH_KEYS else rep
+
+    return {k: jax.device_put(v, placement(k)) for k, v in state.items()}
 
 
 def play_greedy(
@@ -704,6 +882,22 @@ def main(argv: list[str] | None = None) -> None:
         help="big-net multi-stage max-tile exponent thresholds, e.g. 11 12",
     )
     p.add_argument(
+        "--tc-every", type=int, default=TDConfig.tc_every,
+        help="delayed TC learning (arXiv:1604.05085): apply the dense TC "
+        "combine every k steps (big-net TC only; must divide "
+        "--chunk-steps). Removes the staged-table combine overhead",
+    )
+    p.add_argument(
+        "--carousel", type=float, default=TDConfig.carousel,
+        help="carousel shaping (arXiv:1604.05085): probability a finished "
+        "env restarts from a recorded stage-entry board (staged big "
+        "nets only; 0 = off)",
+    )
+    p.add_argument(
+        "--carousel-slots", type=int, default=TDConfig.carousel_slots,
+        help="stage-entry reservoir slots per stage",
+    )
+    p.add_argument(
         "--tc", action="store_true",
         help="temporal-coherence per-entry adaptive rates (set --alpha "
         "and --alpha-final to the meta-rate, typically 1.0); use "
@@ -754,7 +948,8 @@ def main(argv: list[str] | None = None) -> None:
         seed=args.seed, chunk_steps=args.chunk_steps,
         update_impl=args.update_impl, value_impl=args.value_impl,
         tc=args.tc, arch=args.arch, n_vals=args.n_vals,
-        thresholds=tuple(args.thresholds),
+        thresholds=tuple(args.thresholds), tc_every=args.tc_every,
+        carousel=args.carousel, carousel_slots=args.carousel_slots,
     )
     trainer = TDTrainer(cfg)
     state = trainer.init_state()

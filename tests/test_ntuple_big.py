@@ -340,3 +340,60 @@ class TestTrainerIntegration:
         state = td.shard_td_state(tr.init_state(), make_mesh())
         state, m = tr.train_chunk(state, jnp.float32(1.0))
         assert np.isfinite(float(m["ep_score_mean"]))
+
+
+class TestTCAccumulate:
+    """tc_accumulate: the scatter half of delayed TC learning
+    (arXiv:1604.05085) — accumulation must be exactly additive and its
+    deferred combine equivalent to one TC update of the concatenated
+    steps."""
+
+    def test_additivity_matches_single_scatter(self):
+        net = ntuple_big.make_network("4x6", n_vals=4)
+        rng = np.random.default_rng(3)
+        b1 = jnp.asarray(rng.integers(0, 4, (8, 4, 4)), jnp.int8)
+        b2 = jnp.asarray(rng.integers(0, 4, (8, 4, 4)), jnp.int8)
+        d1 = jnp.asarray(rng.normal(size=8).astype(np.float32))
+        d2 = jnp.asarray(rng.normal(size=8).astype(np.float32))
+        zeros = tuple(
+            jnp.zeros(net.table_size, jnp.float32) for _ in range(3)
+        )
+        p = net.tc_accumulate(zeros, b1, d1)
+        p = net.tc_accumulate(p, b2, d2)
+        w_all = (8.0 / net.n_features) * jnp.concatenate([d1, d2])
+        oracle = net._scatter3(jnp.concatenate([b1, b2]), w_all, None)
+        for got, want in zip(p, oracle):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+            )
+
+    def test_deferred_combine_equals_concatenated_update(self):
+        from gym2048_tpu.models.ntuple import _tc_combine
+
+        net = ntuple_big.make_network("4x6", n_vals=4)
+        rng = np.random.default_rng(4)
+        b1 = jnp.asarray(rng.integers(0, 4, (6, 4, 4)), jnp.int8)
+        b2 = jnp.asarray(rng.integers(0, 4, (6, 4, 4)), jnp.int8)
+        d1 = jnp.asarray(rng.normal(size=6).astype(np.float32))
+        d2 = jnp.asarray(rng.normal(size=6).astype(np.float32))
+        v1 = jnp.asarray(rng.integers(0, 2, 6).astype(bool))
+        v2 = jnp.asarray(rng.integers(0, 2, 6).astype(bool))
+        table = jnp.asarray(
+            rng.normal(size=net.table_size).astype(np.float32)
+        )
+        e0 = jnp.zeros_like(table)
+        a0 = jnp.zeros_like(table)
+
+        zeros = tuple(jnp.zeros_like(table) for _ in range(3))
+        p = net.tc_accumulate(zeros, b1, d1, valid=v1)
+        p = net.tc_accumulate(p, b2, d2, valid=v2)
+        got = _tc_combine(table, e0, a0, *p, 0.5)
+        want = net.td_update_tc(
+            table, e0, a0, jnp.concatenate([b1, b2]),
+            jnp.concatenate([d1, d2]), 0.5,
+            valid=jnp.concatenate([v1, v2]),
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
+            )

@@ -178,3 +178,40 @@ class TestRolloutKernel:
         boards = np.asarray(pallas_step.from_cell_major(out_cm))
         distinct = len(np.unique(boards.reshape(B, 16), axis=0))
         assert distinct > 0.9 * B
+
+
+class TestTableGatherKernel:
+    """DMA-ring table gather (models/pallas_table.py — the round-5
+    Pallas table-op study artifact): exactness under the interpreter;
+    performance is measured on chip (docs/PERF.md round-5)."""
+
+    def test_gather_exact_vs_xla(self):
+        from gym2048_tpu.models import pallas_table
+
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(
+            rng.normal(size=128 * 257).astype(np.float32)
+        )
+        idx = jnp.asarray(
+            rng.integers(0, table.shape[0], size=1024).astype(np.int32)
+        )
+        got = pallas_table.gather_values(
+            table, idx, chunk=256, n_sem=8, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(table)[np.asarray(idx)]
+        )
+
+    def test_duplicate_and_boundary_indices(self):
+        from gym2048_tpu.models import pallas_table
+
+        table = jnp.arange(128 * 16, dtype=jnp.float32)
+        idx = jnp.asarray(
+            [0, 127, 128, 128 * 16 - 1, 5, 5, 5, 0] * 32, jnp.int32
+        )
+        got = pallas_table.gather_values(
+            table, idx, chunk=128, n_sem=4, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(table)[np.asarray(idx)]
+        )

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gym2048_tpu.core import rules
 from gym2048_tpu.models import ntuple
@@ -540,3 +541,130 @@ class TestShardedChunkSync:
         assert np.isfinite(table).all()
         assert (table != table.flat[0]).any() or table.flat[0] != 0.0
         assert int(metrics["highest_exp"]) >= 1
+
+
+class TestDelayedTCAndCarousel:
+    """Round-5 training techniques from the flagship's cited paper
+    (arXiv:1604.05085): delayed TC combine (tc_every) and carousel
+    shaping (stage-entry restarts)."""
+
+    BASE = dict(
+        total_steps=512, n_envs=32, chunk_steps=8, arch="4x6",
+        n_vals=4, tc=True, alpha=1.0, alpha_final=1.0, init_value=10.0,
+    )
+
+    def test_tc_every_frozen_table_matches_per_step(self):
+        # alpha=0 freezes the table, so the env trajectories of the
+        # per-step and the delayed modes are identical and the TC
+        # accumulators must agree EXACTLY (addition reassociated only)
+        tr1 = td.TDTrainer(td.TDConfig(**self.BASE))
+        trk = td.TDTrainer(td.TDConfig(**self.BASE, tc_every=4))
+        s1 = tr1.init_state(jax.random.PRNGKey(0))
+        sk = trk.init_state(jax.random.PRNGKey(0))
+        s1, m1 = tr1.train_chunk(s1, jnp.float32(0.0))
+        sk, mk = trk.train_chunk(sk, jnp.float32(0.0))
+        assert set(s1.keys()) == set(sk.keys())  # no pending leakage
+        for k in ("table", "tc_e", "tc_a"):
+            np.testing.assert_allclose(
+                np.asarray(s1[k]), np.asarray(sk[k]),
+                rtol=1e-5, atol=1e-5, err_msg=k,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(s1["boards"]), np.asarray(sk["boards"])
+        )
+        assert float(m1["episodes"]) == float(mk["episodes"])
+
+    def test_tc_every_learns_and_layout_stable(self):
+        cfg = td.TDConfig(**{**self.BASE, "total_steps": 2048},
+                          tc_every=4)
+        tr = td.TDTrainer(cfg)
+        state, hist = tr.learn(tr.init_state(), log_fn=None)
+        t = np.asarray(state["table"])
+        assert np.isfinite(t).all()
+        assert (t != t.flat[0]).any()
+        assert "tc_ps" not in state
+
+    def test_tc_every_validation(self):
+        with pytest.raises(AssertionError):
+            td.TDTrainer(td.TDConfig(tc_every=4))  # small arch
+        with pytest.raises(AssertionError):  # not divisible into chunks
+            td.TDTrainer(td.TDConfig(**{**self.BASE, "chunk_steps": 10},
+                                     tc_every=4))
+        with pytest.raises(AssertionError):  # requires tc
+            td.TDTrainer(td.TDConfig(
+                **{**self.BASE, "tc": False}, tc_every=4))
+
+    def test_carousel_record_and_restart_units(self):
+        key = jax.random.PRNGKey(0)
+        car_b = jnp.zeros((3, 4, 4, 4), jnp.int8)
+        car_f = jnp.zeros((3, 4), bool)
+        next_state = jnp.arange(3 * 16, dtype=jnp.int8).reshape(3, 4, 4)
+        st_prev = jnp.array([0, 1, 0], jnp.int32)
+        st_next = jnp.array([1, 1, 0], jnp.int32)  # only env 0 crosses
+        alive = jnp.ones(3, bool)
+        car_b, car_f = td._carousel_record(
+            car_b, car_f, st_prev, st_next, alive, next_state, key
+        )
+        f = np.asarray(car_f)
+        assert f[1].sum() == 1  # exactly the crossing env recorded
+        slot = int(f[1].argmax())
+        np.testing.assert_array_equal(
+            np.asarray(car_b)[1, slot], np.asarray(next_state)[0]
+        )
+        assert f[2].sum() == 0  # nothing entered stage 2
+
+        fresh = jnp.full((5, 4, 4), 7, jnp.int8)
+        # p=0: always fresh
+        out = td._carousel_restart(car_b, car_f, fresh, key, 0.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(fresh))
+        # p=1: every board is either the recorded stage-1 entry (when
+        # the draw hits its filled slot) or fresh (stage 2 is empty)
+        out = np.asarray(
+            td._carousel_restart(car_b, car_f, fresh, key, 1.0)
+        )
+        stored = np.asarray(car_b)[1, slot]
+        for i in range(5):
+            assert (out[i] == stored).all() or (out[i] == 7).all()
+
+    def test_carousel_training_integration(self, tmp_path):
+        cfg = td.TDConfig(
+            total_steps=4096, n_envs=64, chunk_steps=16, arch="4x6",
+            n_vals=4, thresholds=(2, 3), tc=True, alpha=1.0,
+            alpha_final=1.0, init_value=50.0, carousel=0.5,
+            carousel_slots=8,
+        )
+        tr = td.TDTrainer(cfg)
+        state, hist = tr.learn(tr.init_state(), log_fn=None)
+        assert np.isfinite(np.asarray(state["table"])).all()
+        filled = np.asarray(state["car_filled"])
+        assert filled.shape == (3, 8)
+        assert filled[1:].any()  # stage entries were recorded
+        # full-state checkpoints carry the reservoir
+        path = str(tmp_path / "car.ckpt")
+        td.save_train_state(path, state, cfg, chunks_done=4)
+        restored, meta = td.load_train_state(path)
+        assert set(restored.keys()) == set(state.keys())
+        np.testing.assert_array_equal(
+            np.asarray(restored["car_boards"]),
+            np.asarray(state["car_boards"]),
+        )
+
+    def test_carousel_delayed_tc_sharded(self):
+        from gym2048_tpu.parallel import make_mesh
+
+        cfg = td.TDConfig(
+            total_steps=512, n_envs=64, chunk_steps=8, arch="4x6",
+            n_vals=4, thresholds=(2, 3), tc=True, tc_every=4,
+            alpha=1.0, alpha_final=1.0, init_value=50.0,
+            carousel=0.5, carousel_slots=8,
+        )
+        tr = td.TDTrainer(cfg)
+        mesh = make_mesh()
+        fn = tr.make_sharded_chunk(mesh)
+        state = td.shard_td_state(tr.init_state(jax.random.PRNGKey(2)),
+                                  mesh)
+        for _ in range(3):
+            state, metrics = fn(state, jnp.float32(1.0))
+        assert np.isfinite(np.asarray(state["table"])).all()
+        assert np.isfinite(float(metrics["ep_score_mean"]))
+        assert np.asarray(state["car_filled"]).shape == (3, 8)
