@@ -224,7 +224,8 @@ def make_policy(
 
 
 def _afterstate_search(
-    value_fn, boards: jax.Array, plies: int, beam: bool = False
+    value_fn, boards: jax.Array, plies: int, beam: bool = False,
+    map_spawn: bool = True,
 ) -> jax.Array:
     """Afterstate-expectimax Q-values ``(B, 4)`` at ``plies`` move levels.
 
@@ -239,6 +240,12 @@ def _afterstate_search(
     ``B*2048``-board value batch — bounding both memory and the gather
     sizes that crash the remote TPU worker (CLAUDE.md gotcha), while each
     map step still feeds the value path a large contraction.
+    ``map_spawn=False`` disables that bounding and vmaps the whole level
+    in one batch — 32x fewer (and 32x larger) value calls, the right
+    trade when the DEEP batch is small and sequential tiny kernels
+    dominate latency (the adaptive policy's compacted k_deep <= 128
+    boards: max value batch = k*16384 boards beam-pruned, ~34M gather
+    indices at k=64 — still well under the worker's ~100M ceiling).
 
     ``beam`` enables greedy forward pruning at the pre-leaf max level: at
     ``plies == 2`` only the move that wins the SHALLOW backup
@@ -259,7 +266,7 @@ def _afterstate_search(
         return jnp.where(legal, scores + v, _NEG)
 
     def child_state_values(ch: jax.Array) -> jax.Array:
-        q = _afterstate_search(value_fn, ch, plies - 1, beam)
+        q = _afterstate_search(value_fn, ch, plies - 1, beam, map_spawn)
         return jnp.where((q > _NEG / 2).any(-1), q.max(-1), 0.0)
 
     if beam and plies == 2:
@@ -279,7 +286,7 @@ def _afterstate_search(
 
     after = moved.reshape(b * 4, 4, 4)
     children, probs = jax.vmap(spawn_children)(after)  # (b*4,32,..), (b*4,32)
-    if plies >= 3:
+    if plies >= 3 and map_spawn:
         sv = jax.lax.map(
             child_state_values, children.transpose(1, 0, 2, 3)
         ).T  # (b*4, 32)
@@ -352,6 +359,7 @@ def make_adaptive_policy(
     k_deep: int,
     deep_empty_max: int = 8,
     beam: bool = True,
+    map_spawn: bool = False,
 ) -> Callable[..., jax.Array]:
     """Adaptive-depth afterstate expectimax: depth 2 everywhere, depth 3
     only where it can matter.
@@ -390,7 +398,11 @@ def make_adaptive_policy(
         eligible = active & (empties <= deep_empty_max)
         danger = jnp.where(eligible, -empties, -(10 ** 6))
         _, top = jax.lax.top_k(danger, min(k_deep, b))
-        q3 = _afterstate_search(vf, boards[top], 3, beam)
+        # the deep batch is k_deep-bounded, so the whole depth-3 level
+        # vmaps in one batch by default (map_spawn=False): 32 sequential
+        # small value calls become 1 large one — the compacted batch is
+        # latency-bound otherwise
+        q3 = _afterstate_search(vf, boards[top], 3, beam, map_spawn)
         take = eligible[top][:, None]
         q = q2.at[top].set(jnp.where(take, q3, q2[top]))
         return q.argmax(-1).astype(jnp.int32)

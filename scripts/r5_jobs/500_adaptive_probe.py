@@ -33,14 +33,14 @@ net = td.TDTrainer(
 out = {"episodes": 32, "seed": 99,
        "artifact": "docs/curves/ntuple_4x6_tc_r4_staged.*",
        "baseline_searched_moves_per_s": 77.8, "configs": {}}
-for k_deep, empty_max in ((8, 8), (4, 6)):
+for k_deep, empty_max in ((4, 8), (8, 10)):
     pol = expectimax.make_adaptive_policy(
         lambda t, bs: net.value_batch(t, bs), k_deep,
         deep_empty_max=empty_max,
     )
     t0 = time.time()
     res = expectimax.play_policy(
-        pol, 32, jax.random.PRNGKey(99), move_cap=30000, chunk_moves=32,
+        pol, 32, jax.random.PRNGKey(99), move_cap=30000, chunk_moves=64,
         params=table, needs_active=True,
     )
     wall = time.time() - t0

@@ -505,3 +505,32 @@ class TestAdaptivePolicy:
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["episodes"] == 2
         assert res["Average score"] >= 0.0
+
+    def test_map_spawn_equivalence(self):
+        # the vmapped spawn level (map_spawn=False) must be numerically
+        # identical to the lax.map-bounded form — same tree, same math
+        table, vf = self._vf()
+        rng = np.random.default_rng(14)
+        boards = jnp.asarray(rng.integers(0, 7, size=(5, 4, 4)), jnp.int8)
+        active = jnp.ones(5, bool)
+        a_map = expectimax.make_adaptive_policy(
+            vf, 3, deep_empty_max=16, map_spawn=True
+        )
+        a_vmap = expectimax.make_adaptive_policy(
+            vf, 3, deep_empty_max=16, map_spawn=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a_map(table, boards, active)),
+            np.asarray(a_vmap(table, boards, active)),
+        )
+        # and against the plain depth-3 beam policy when everyone is deep
+        plain = expectimax.make_afterstate_policy(
+            vf, depth=3, parametrised=True, beam=True
+        )
+        full = expectimax.make_adaptive_policy(
+            vf, 5, deep_empty_max=16, map_spawn=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full(table, boards, active)),
+            np.asarray(plain(table, boards)),
+        )
