@@ -1,6 +1,6 @@
 """Staging-threshold ablation (round-5 VERDICT item 3): promote the
 COMMITTED 1B-step single-stage 4x6 table (docs/curves/ntuple_4x6_tc_r4)
-to three threshold sets, continue each 300M steps under the round-5
+to three threshold sets, continue each 250M steps under the round-5
 regime (delayed TC tc_every=8 + carousel shaping 0.5), greedy-eval 128
 games, and keep each run's full train state in artifacts/ so the winner
 can be extended into the flagship run without retraining.
@@ -38,14 +38,14 @@ SETS = {
 }
 out = {
     "base": "docs/curves/ntuple_4x6_tc_r4.* (1B single-stage)",
-    "continuation_steps": 300_000_000,
+    "continuation_steps": 250_000_000,
     "regime": "tc_every=8, carousel=0.5 (arXiv:1604.05085 delayed TC + "
               "carousel shaping)",
     "eval": "128-game greedy, seed 99", "rows": {},
 }
 for tag, thresh in SETS.items():
     cfg = td.TDConfig(
-        total_steps=300_000_000, n_envs=8192, chunk_steps=64, arch="4x6",
+        total_steps=250_000_000, n_envs=8192, chunk_steps=64, arch="4x6",
         tc=True, alpha=1.0, alpha_final=1.0, init_value=0.0, seed=7,
         thresholds=thresh, tc_every=8, carousel=0.5,
     )
