@@ -71,7 +71,8 @@ def _gather_kernel(n_sem, chunk, idx_ref, oh_ref, table_ref, out_ref,
         return _
 
     jax.lax.fori_loop(max(chunk - n_sem, 0), chunk, drain, None)
-    out_ref[0, :] = (rows[...] * oh_ref[...]).sum(axis=1)
+    vals = (rows[...] * oh_ref[...]).sum(axis=1)
+    out_ref[0, :, :] = vals.reshape(chunk // _LANES, _LANES)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "n_sem", "interpret"))
@@ -90,6 +91,7 @@ def gather_values(
     Returns ``(N,)`` f32, exactly equal to ``table[idx]``.
     """
     assert table.ndim == 1 and table.shape[0] % _LANES == 0, table.shape
+    assert chunk % _LANES == 0, chunk
     n = idx.shape[0]
     assert n % chunk == 0, (n, chunk)
     rows = idx // _LANES
@@ -106,8 +108,15 @@ def gather_values(
             pl.BlockSpec((chunk, _LANES), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, chunk), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
+        # Mosaic constrains a block's LAST TWO dims to divide (8, 128) or
+        # equal the array dims — a flat (1, chunk) block violates the
+        # sublane rule, so the per-chunk output is laid out as lane rows
+        out_specs=pl.BlockSpec(
+            (1, chunk // _LANES, _LANES), lambda i: (i, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, chunk // _LANES, _LANES), jnp.float32
+        ),
         scratch_shapes=[
             pltpu.VMEM((chunk, _LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((n_sem,)),

@@ -37,7 +37,7 @@ net = td.TDTrainer(
 
 pol = expectimax.make_adaptive_policy(
     lambda t, bs: net.value_batch(t, bs), K_DEEP,
-    deep_empty_max=EMPTY_MAX,
+    deep_empty_max=EMPTY_MAX, map_spawn=True,
 )
 t0 = time.time()
 res = expectimax.play_policy(
